@@ -1,0 +1,218 @@
+"""Range-image projection, IMU deskew and ring extraction.
+
+TPU rebuild of LIO-SAM's ``imageProjection`` stage
+(``liosam_ws/src/LIO-SAM/src/imageProjection.cpp``):
+
+* :func:`imu_rotation_timeline`  — gyro integration over the scan window
+  (behavior of ``imuDeskewInfo`` :305-362)
+* :func:`deskew`                 — per-point rotation deskew to scan start by
+  linear interpolation of the integrated rotation
+  (``findRotation`` :446-471 + ``deskewPoint`` :489-519; positional deskew is
+  disabled in the reference :473-487 and here)
+* :func:`project`                — N_SCAN x Horizon_SCAN range image with
+  first-point-wins pixel assignment (``projectPointCloud`` :521-572)
+* :func:`extract_rings`          — dense per-ring arrays + start/end indices
+  (``cloudExtraction`` :574-598)
+
+Everything is fixed shape: the IMU window is a masked (T,) buffer, the scan a
+masked point set, the output a [N_SCAN, H] image + per-ring packed arrays.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import se3
+from .pointcloud import Cloud
+
+Array = jax.Array
+
+
+class ImuWindow(NamedTuple):
+    """Fixed-size IMU sample window covering one scan.
+
+    t:    (T,) seconds (absolute or scan-relative; must match point times)
+    gyro: (T, 3) rad/s (already rotated into the LiDAR frame — the host-side
+          ``imuConverter`` equivalent, ``utility.h:252-282``)
+    acc:  (T, 3) m/s^2
+    mask: (T,) bool
+    """
+
+    t: Array
+    gyro: Array
+    acc: Array
+    mask: Array
+
+
+def imu_rotation_timeline(imu: ImuWindow) -> tuple[Array, Array]:
+    """Integrate gyro into per-sample accumulated euler-ish angles.
+
+    Matches ``imuDeskewInfo`` :323-354: simple per-axis forward-Euler
+    integration of angular velocity (NOT on-manifold — the reference treats
+    the integrated angles as independent euler angles and builds RzRyRx from
+    them; over one 100 ms scan this is accurate).
+
+    Returns (times (T,), rot (T, 3)) with rot[0] = 0; invalid samples carry
+    the previous value forward.
+    """
+    dt = jnp.diff(imu.t, prepend=imu.t[:1])
+    dt = jnp.where(imu.mask & jnp.roll(imu.mask, 1), dt, 0.0)
+    dt = dt.at[0].set(0.0)
+    inc = imu.gyro * dt[:, None]
+    inc = jnp.where(imu.mask[:, None], inc, 0.0)
+    rot = jnp.cumsum(inc, axis=0)
+    return imu.t, rot
+
+
+def _interp_rotation(times: Array, rots: Array, n_valid: Array, t_query: Array) -> Array:
+    """Linear interp of the integrated-rotation timeline at t_query (...,).
+
+    Matches ``findRotation`` :446-471: clamp to last sample beyond the window,
+    take front sample if query precedes the window.
+    """
+    # searchsorted over the valid prefix; invalid tail is +inf
+    t_safe = jnp.where(jnp.arange(times.shape[0]) < n_valid, times, jnp.inf)
+    hi = jnp.searchsorted(t_safe, t_query, side="right")
+    hi = jnp.clip(hi, 1, jnp.maximum(n_valid - 1, 1))
+    lo = hi - 1
+    t0, t1 = t_safe[lo], t_safe[hi]
+    w = jnp.clip((t_query - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
+    r = rots[lo] + w[..., None] * (rots[hi] - rots[lo])
+    # Before the window start -> first sample's rotation (= 0), matching ref.
+    r = jnp.where((t_query < t_safe[0])[..., None], rots[0], r)
+    return r
+
+
+def deskew(
+    xyz: Array,
+    point_time: Array,
+    imu_times: Array,
+    imu_rots: Array,
+    n_valid: Array,
+    t_start: Array | None = None,
+    enabled: Array | bool = True,
+) -> Array:
+    """Rotate each point into the scan-start frame.
+
+    xyz (N, 3), point_time (N,) absolute times on the same clock as imu_times.
+    t_start: scan-start time (default: min point time).  The reference
+    composes T_start^-1 * T_t with rotation-only transforms from the
+    integrated gyro timeline (``deskewPoint`` :489-519).
+    """
+    if t_start is None:
+        t_start = point_time.min()
+    rot_t = _interp_rotation(imu_times, imu_rots, n_valid, point_time)  # (N,3)
+    rot_start = _interp_rotation(imu_times, imu_rots, n_valid, jnp.reshape(t_start, (1,)))
+    # q_bt = q_start^-1 * q_t  (rotation-only; translation deskew disabled as in ref)
+    q_t = se3.quat_from_rpy(rot_t)
+    q_s = se3.quat_from_rpy(rot_start)
+    q_bt = se3.quat_mul(se3.quat_conj(q_s), q_t)
+    out = se3.quat_rotate(q_bt, xyz)
+    on = jnp.asarray(enabled)
+    return jnp.where(on, out, xyz)
+
+
+class RangeImage(NamedTuple):
+    """Projected scan.
+
+    rng:   (N_SCAN, H) float32 range, inf where empty
+    xyz:   (N_SCAN, H, 3) deskewed points
+    attrs: (N_SCAN, H, A)
+    valid: (N_SCAN, H) bool
+    """
+
+    rng: Array
+    xyz: Array
+    attrs: Array
+    valid: Array
+
+
+def project(
+    cloud: Cloud,
+    ring: Array,
+    n_scan: int,
+    horizon: int,
+    min_range: float,
+    max_range: float,
+    downsample_rate: int = 1,
+) -> RangeImage:
+    """Project a masked point set into the range image.
+
+    Column binning matches ``projectPointCloud`` :544-552 exactly:
+    ``col = -round((atan2(x, y)*180/pi - 90)/res) + H/2`` with wraparound.
+    First point (in input order) wins each pixel (:561-562).
+    """
+    x, y = cloud.xyz[:, 0], cloud.xyz[:, 1]
+    rng = jnp.linalg.norm(cloud.xyz, axis=-1)
+    ok = cloud.mask & (rng >= min_range) & (rng <= max_range)
+    ring = ring.astype(jnp.int32)
+    ok &= (ring >= 0) & (ring < n_scan)
+    if downsample_rate > 1:
+        ok &= (ring % downsample_rate) == 0
+
+    ang_res = 360.0 / horizon
+    horizon_angle = jnp.arctan2(x, y) * (180.0 / jnp.pi)
+    col = (-jnp.round((horizon_angle - 90.0) / ang_res)).astype(jnp.int32) + horizon // 2
+    col = jnp.where(col >= horizon, col - horizon, col)
+    ok &= (col >= 0) & (col < horizon)
+
+    flat = ring * horizon + col
+    n_pix = n_scan * horizon
+    flat = jnp.where(ok, flat, n_pix)  # dropped bucket
+
+    # first-point-wins: scatter-min of the point index, then gather
+    order_idx = jnp.arange(cloud.capacity, dtype=jnp.int32)
+    winner = jnp.full((n_pix + 1,), cloud.capacity, jnp.int32)
+    winner = winner.at[flat].min(order_idx)
+    winner = winner[:n_pix]
+    valid = winner < cloud.capacity
+    wsafe = jnp.minimum(winner, cloud.capacity - 1)
+
+    img_xyz = cloud.xyz[wsafe].reshape(n_scan, horizon, 3)
+    img_attrs = cloud.attrs[wsafe].reshape(n_scan, horizon, -1)
+    img_rng = rng[wsafe].reshape(n_scan, horizon)
+    valid = valid.reshape(n_scan, horizon)
+    img_rng = jnp.where(valid, img_rng, jnp.inf)
+    return RangeImage(img_rng, img_xyz, img_attrs, valid)
+
+
+class ExtractedScan(NamedTuple):
+    """Per-ring packed dense arrays (the reference's flattened extracted cloud
+    + startRingIndex/endRingIndex/pointColInd/pointRange, reshaped so each
+    ring occupies its own fixed-width row).
+
+    xyz:   (N_SCAN, H, 3)
+    rng:   (N_SCAN, H)
+    col:   (N_SCAN, H) original column index
+    attrs: (N_SCAN, H, A)
+    count: (N_SCAN,) number of valid (packed-prefix) points per ring
+    """
+
+    xyz: Array
+    rng: Array
+    col: Array
+    attrs: Array
+    count: Array
+
+
+def extract_rings(img: RangeImage) -> ExtractedScan:
+    """Pack valid pixels of each ring into a dense prefix (stable by column),
+    mirroring ``cloudExtraction`` :574-598."""
+    n_scan, horizon = img.rng.shape
+
+    def one_ring(rng_r, xyz_r, attrs_r, valid_r):
+        order = jnp.argsort(~valid_r, stable=True)
+        cnt = jnp.sum(valid_r.astype(jnp.int32))
+        return (
+            xyz_r[order],
+            jnp.where(jnp.arange(horizon) < cnt, rng_r[order], jnp.inf),
+            order.astype(jnp.int32),
+            attrs_r[order],
+            cnt,
+        )
+
+    xyz, rng, col, attrs, count = jax.vmap(one_ring)(img.rng, img.xyz, img.attrs, img.valid)
+    return ExtractedScan(xyz, rng, col, attrs, count)

@@ -1,0 +1,101 @@
+"""Deterministic voxel-grid downsampling on fixed-shape clouds.
+
+Replaces every ``pcl::VoxelGrid`` call site in the reference (feature-cloud
+downsampling ``featureExtraction.cpp:232-236``, map/scan downsampling
+``mapOptmization.cpp:955-967``, local-map assembly :862-938, calibration
+pre-filters).  PCL computes the centroid of all points per occupied voxel; we
+do the same with a sort + segment-sum, which is exact (no hash collisions:
+we sort lexicographically on integer voxel coordinates) and deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .pointcloud import Cloud
+
+Array = jax.Array
+
+_BIG = jnp.int32(2**30)
+
+
+def voxel_coords(xyz: Array, leaf: float) -> Array:
+    return jnp.floor(xyz / leaf).astype(jnp.int32)
+
+
+def voxel_downsample(
+    cloud: Cloud,
+    leaf: float,
+    capacity: Optional[int] = None,
+    extra_key: Optional[Array] = None,
+) -> Cloud:
+    """Centroid voxel filter.
+
+    extra_key: optional (N,) int32 appended to the voxel key — e.g. the ring
+    index, to reproduce the reference's *per-ring* surface downsampling
+    (``featureExtraction.cpp:226-236`` runs one VoxelGrid per ring).
+    capacity: static output size (default: input capacity).  If more voxels
+    are occupied than capacity, the lexicographically-smallest survive.
+    """
+    n = cloud.capacity
+    n_out = capacity or n
+    c = voxel_coords(cloud.xyz, leaf)
+    invalid = ~cloud.mask
+    cx = jnp.where(invalid, _BIG, c[:, 0])
+    cy = jnp.where(invalid, _BIG, c[:, 1])
+    cz = jnp.where(invalid, _BIG, c[:, 2])
+    keys = [cz, cy, cx]
+    if extra_key is not None:
+        keys.append(jnp.where(invalid, _BIG, extra_key))
+    # jnp.lexsort: last key is primary.
+    order = jnp.lexsort(keys)
+
+    cs = jnp.stack([k[order] for k in keys], axis=1)  # (N, K) sorted coords
+    valid_s = cloud.mask[order]
+    xyz_s = cloud.xyz[order]
+    attrs_s = cloud.attrs[order]
+
+    new_voxel = jnp.any(cs != jnp.roll(cs, 1, axis=0), axis=1)
+    new_voxel = new_voxel.at[0].set(True)
+    new_voxel = new_voxel & valid_s
+    seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1  # voxel index per point
+    seg = jnp.where(valid_s, seg, n_out)  # invalid points -> dropped segment
+
+    w = valid_s.astype(xyz_s.dtype)[:, None]
+    sums = jax.ops.segment_sum(xyz_s * w, seg, num_segments=n_out + 1)[:n_out]
+    asums = jax.ops.segment_sum(attrs_s * w, seg, num_segments=n_out + 1)[:n_out]
+    counts = jax.ops.segment_sum(w[:, 0], seg, num_segments=n_out + 1)[:n_out]
+
+    denom = jnp.maximum(counts, 1.0)[:, None]
+    n_voxels = jnp.sum(new_voxel.astype(jnp.int32))
+    mask_out = jnp.arange(n_out) < jnp.minimum(n_voxels, n_out)
+    return Cloud(sums / denom, mask_out, asums / denom)
+
+
+def voxel_downsample_first(
+    cloud: Cloud, leaf: float, capacity: Optional[int] = None
+) -> Cloud:
+    """Keep the first (in input order) point of each voxel — cheaper than the
+    centroid filter; used where the reference's behavior doesn't depend on
+    centroid semantics (e.g. candidate thinning)."""
+    n_out = capacity or cloud.capacity
+    c = voxel_coords(cloud.xyz, leaf)
+    invalid = ~cloud.mask
+    cx = jnp.where(invalid, _BIG, c[:, 0])
+    cy = jnp.where(invalid, _BIG, c[:, 1])
+    cz = jnp.where(invalid, _BIG, c[:, 2])
+    idx = jnp.arange(cloud.capacity, dtype=jnp.int32)
+    order = jnp.lexsort([idx, cz, cy, cx])
+    cs = jnp.stack([k[order] for k in (cz, cy, cx)], axis=1)
+    valid_s = cloud.mask[order]
+    first = jnp.any(cs != jnp.roll(cs, 1, axis=0), axis=1)
+    first = first.at[0].set(True)
+    first = first & valid_s
+    keep_idx = jnp.where(first, order, cloud.capacity + 1)
+    keep_idx = jnp.sort(keep_idx)[:n_out]  # preserve input order
+    ok = keep_idx <= cloud.capacity
+    keep_idx = jnp.minimum(keep_idx, cloud.capacity - 1)
+    return Cloud(cloud.xyz[keep_idx], ok, cloud.attrs[keep_idx])

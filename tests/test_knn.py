@@ -1,0 +1,67 @@
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial import cKDTree
+
+from msst_tpu.ops import knn
+
+RNG = np.random.default_rng(3)
+
+
+def test_query_matches_ckdtree():
+    pts = RNG.uniform(-10, 10, size=(2000, 3)).astype(np.float32)
+    queries = RNG.uniform(-9, 9, size=(300, 3)).astype(np.float32)
+    grid = knn.build(jnp.asarray(pts), jnp.ones(2000, bool), cell_size=1.0, table_size=4096)
+    res = knn.query(grid, jnp.asarray(queries), jnp.ones(300, bool), k=5,
+                    candidates_per_cell=32, max_sqdist=1.0)
+
+    tree = cKDTree(pts)
+    d, i = tree.query(queries, k=5, distance_upper_bound=1.0)
+    got_d = np.asarray(res.sqdist)
+    got_v = np.asarray(res.valid)
+    for qi in range(300):
+        ref_valid = np.isfinite(d[qi])
+        assert got_v[qi].sum() == ref_valid.sum(), qi
+        np.testing.assert_allclose(
+            np.sort(got_d[qi][got_v[qi]]), np.sort(d[qi][ref_valid] ** 2), rtol=1e-3, atol=1e-5
+        )
+
+
+def test_query_indices_point_to_original_array():
+    pts = RNG.uniform(-5, 5, size=(500, 3)).astype(np.float32)
+    q = pts[:50] + 1e-3
+    grid = knn.build(jnp.asarray(pts), jnp.ones(500, bool), cell_size=1.0, table_size=1024)
+    res = knn.query(grid, jnp.asarray(q), jnp.ones(50, bool), k=1, candidates_per_cell=32)
+    idx = np.asarray(res.idx)[:, 0]
+    np.testing.assert_array_equal(idx, np.arange(50))
+
+
+def test_mask_respected():
+    pts = RNG.uniform(-5, 5, size=(200, 3)).astype(np.float32)
+    mask = np.zeros(200, bool)
+    mask[:100] = True
+    grid = knn.build(jnp.asarray(pts), jnp.asarray(mask), cell_size=2.0, table_size=512)
+    res = knn.query(grid, jnp.asarray(pts[100:]), jnp.ones(100, bool), k=3,
+                    candidates_per_cell=64)
+    idx = np.asarray(res.idx)
+    valid = np.asarray(res.valid)
+    assert (idx[valid] < 100).all()
+
+
+def test_nearest_in_set_exact():
+    pts = RNG.uniform(-5, 5, size=(300, 3)).astype(np.float32)
+    q = RNG.uniform(-5, 5, size=(40, 3)).astype(np.float32)
+    res = knn.nearest_in_set(jnp.asarray(pts), jnp.ones(300, bool), jnp.asarray(q), jnp.ones(40, bool), k=4)
+    tree = cKDTree(pts)
+    d, i = tree.query(q, k=4)
+    np.testing.assert_allclose(np.sort(np.asarray(res.sqdist), axis=1), np.sort(d**2, axis=1), rtol=1e-4, atol=1e-5)
+
+
+def test_radius_count():
+    pts = RNG.uniform(-5, 5, size=(1000, 3)).astype(np.float32)
+    q = RNG.uniform(-4, 4, size=(50, 3)).astype(np.float32)
+    grid = knn.build(jnp.asarray(pts), jnp.ones(1000, bool), cell_size=1.0, table_size=2048)
+    cnt = np.asarray(knn.radius_count(grid, jnp.asarray(q), jnp.ones(50, bool), radius=1.0,
+                                      candidates_per_cell=64))
+    tree = cKDTree(pts)
+    expect = np.array([len(tree.query_ball_point(p, 1.0)) for p in q])
+    np.testing.assert_array_equal(cnt, expect)

@@ -1,0 +1,72 @@
+import jax.numpy as jnp
+import numpy as np
+
+from msst_tpu.ops import voxel
+from msst_tpu.ops.pointcloud import Cloud
+
+RNG = np.random.default_rng(2)
+
+
+def ref_voxel_centroids(xyz, attrs, leaf):
+    """NumPy oracle: centroid per occupied voxel (PCL VoxelGrid semantics)."""
+    coords = np.floor(xyz / leaf).astype(np.int64)
+    out = {}
+    for c, p, a in zip(map(tuple, coords), xyz, attrs):
+        s = out.setdefault(c, [np.zeros(3), np.zeros(attrs.shape[1]), 0])
+        s[0] += p
+        s[1] += a
+        s[2] += 1
+    return {c: (s[0] / s[2], s[1] / s[2]) for c, s in out.items()}
+
+
+def test_voxel_downsample_matches_oracle():
+    xyz = RNG.uniform(-3, 3, size=(500, 3)).astype(np.float32)
+    attrs = RNG.uniform(size=(500, 2)).astype(np.float32)
+    cloud = Cloud.create(jnp.asarray(xyz), attrs=jnp.asarray(attrs))
+    out = voxel.voxel_downsample(cloud, leaf=0.5)
+    expect = ref_voxel_centroids(xyz, attrs, 0.5)
+
+    m = np.asarray(out.mask)
+    assert m.sum() == len(expect)
+    got_xyz = np.asarray(out.xyz)[m]
+    got_attrs = np.asarray(out.attrs)[m]
+    for p, a in zip(got_xyz, got_attrs):
+        c = tuple(np.floor(p / 0.5).astype(np.int64))
+        assert c in expect, c
+        np.testing.assert_allclose(p, expect[c][0], atol=1e-4)
+        np.testing.assert_allclose(a, expect[c][1], atol=1e-4)
+
+
+def test_voxel_downsample_respects_mask_and_capacity():
+    xyz = RNG.uniform(-3, 3, size=(300, 3)).astype(np.float32)
+    mask = RNG.uniform(size=300) < 0.5
+    cloud = Cloud.create(jnp.asarray(xyz), mask=jnp.asarray(mask))
+    out = voxel.voxel_downsample(cloud, leaf=0.4, capacity=64)
+    expect = ref_voxel_centroids(xyz[mask], np.zeros((mask.sum(), 0)), 0.4)
+    n = min(len(expect), 64)
+    assert int(out.count) == n
+
+
+def test_voxel_downsample_extra_key_per_ring():
+    # two points in the same voxel but different rings survive separately
+    xyz = np.array([[0.1, 0.1, 0.1], [0.12, 0.12, 0.12]], np.float32)
+    ring = jnp.asarray([0, 1], dtype=jnp.int32)
+    cloud = Cloud.create(jnp.asarray(xyz))
+    merged = voxel.voxel_downsample(cloud, leaf=1.0)
+    assert int(merged.count) == 1
+    kept = voxel.voxel_downsample(cloud, leaf=1.0, extra_key=ring)
+    assert int(kept.count) == 2
+
+
+def test_voxel_downsample_first_keeps_input_order_points():
+    xyz = RNG.uniform(-2, 2, size=(200, 3)).astype(np.float32)
+    cloud = Cloud.create(jnp.asarray(xyz))
+    out = voxel.voxel_downsample_first(cloud, leaf=0.5)
+    m = np.asarray(out.mask)
+    got = np.asarray(out.xyz)[m]
+    # each kept point is an actual input point
+    d = np.min(np.linalg.norm(got[:, None] - xyz[None], axis=2), axis=1)
+    assert d.max() == 0
+    # one point per voxel
+    cells = set(map(tuple, np.floor(got / 0.5).astype(np.int64)))
+    assert len(cells) == len(got)
