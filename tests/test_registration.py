@@ -1,0 +1,187 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation as Rs
+
+from msst_tpu.ops import knn, registration as reg, se3
+
+RNG = np.random.default_rng(7)
+
+
+def make_world():
+    """Two perpendicular walls + floor (surf) and 4 vertical poles (corner)."""
+    surf = []
+    g = np.arange(-10, 10, 0.25, dtype=np.float32)
+    xx, zz = np.meshgrid(g, np.arange(0, 4, 0.25, dtype=np.float32))
+    surf.append(np.stack([xx.ravel(), np.full(xx.size, 10.0), zz.ravel()], 1))  # wall y=10
+    surf.append(np.stack([np.full(xx.size, 10.0), xx.ravel(), zz.ravel()], 1))  # wall x=10
+    xx, yy = np.meshgrid(g, g)
+    surf.append(np.stack([xx.ravel(), yy.ravel(), np.zeros(xx.size)], 1))       # floor z=0
+    surf = np.concatenate(surf).astype(np.float32)
+
+    poles = []
+    for px, py in [(5, 5), (-5, 5), (5, -5), (-6, -3)]:
+        z = np.arange(0, 4, 0.05, dtype=np.float32)
+        poles.append(np.stack([np.full(z.size, px, np.float32),
+                               np.full(z.size, py, np.float32), z], 1))
+    corner = np.concatenate(poles).astype(np.float32)
+    return corner, surf
+
+
+def subsample(arr, n, rng):
+    idx = rng.choice(len(arr), size=n, replace=False)
+    return arr[idx] + rng.normal(scale=0.005, size=(n, 3)).astype(np.float32)
+
+
+def pose_vec(rpy, xyz):
+    return jnp.asarray(np.array(list(rpy) + list(xyz), np.float32))
+
+
+def test_scan_to_map_recovers_pose():
+    corner_map, surf_map = make_world()
+    gt = np.array([0.02, -0.015, 0.05, 0.3, -0.2, 0.1], np.float32)
+    R = Rs.from_euler("xyz", gt[:3]).as_matrix().astype(np.float32)
+    t = gt[3:]
+
+    corner_scan = subsample(corner_map, 300, RNG)
+    surf_scan = subsample(surf_map, 2000, RNG)
+    # scan frame: p_scan = R^-1 (p_world - t)
+    corner_scan = (corner_scan - t) @ R
+    surf_scan = (surf_scan - t) @ R
+
+    cg = knn.build(jnp.asarray(corner_map), jnp.ones(len(corner_map), bool), 1.0, 4096)
+    sg = knn.build(jnp.asarray(surf_map), jnp.ones(len(surf_map), bool), 1.0, 16384)
+
+    res = reg.scan_to_map(
+        jnp.asarray(corner_scan), jnp.ones(len(corner_scan), bool),
+        jnp.asarray(surf_scan), jnp.ones(len(surf_scan), bool),
+        cg, jnp.asarray(corner_map), sg, jnp.asarray(surf_map),
+        init_pose=pose_vec([0, 0, 0], [0, 0, 0]),
+        candidates_per_cell=48,
+    )
+    got = np.asarray(res.pose)
+    np.testing.assert_allclose(got[:3], gt[:3], atol=5e-3)
+    np.testing.assert_allclose(got[3:], gt[3:], atol=2e-2)
+    assert not bool(res.degenerate)
+    assert int(res.n_surf) > 500
+
+
+def test_scan_to_map_degenerate_single_plane():
+    # Only a floor: x/y translation + yaw are unobservable -> degenerate flag,
+    # and the update must not move along the unobservable directions.
+    g = np.arange(-10, 10, 0.2, dtype=np.float32)
+    xx, yy = np.meshgrid(g, g)
+    floor = np.stack([xx.ravel(), yy.ravel(), np.zeros(xx.size, np.float32)], 1)
+    surf_scan = subsample(floor, 2000, RNG)
+    surf_scan = surf_scan + np.array([0, 0, -0.3], np.float32)  # shifted down in z
+
+    sg = knn.build(jnp.asarray(floor), jnp.ones(len(floor), bool), 1.0, 16384)
+    # empty corner set
+    cg = knn.build(jnp.zeros((8, 3), jnp.float32), jnp.zeros(8, bool), 1.0, 64)
+
+    res = reg.scan_to_map(
+        jnp.zeros((8, 3)), jnp.zeros(8, bool),
+        jnp.asarray(surf_scan), jnp.ones(len(surf_scan), bool),
+        cg, jnp.zeros((8, 3)), sg, jnp.asarray(floor),
+        init_pose=pose_vec([0, 0, 0], [0, 0, 0]),
+        candidates_per_cell=48,
+    )
+    assert bool(res.degenerate)
+    got = np.asarray(res.pose)
+    assert abs(got[5] - 0.3) < 0.02      # z recovered
+    assert abs(got[3]) < 1e-3 and abs(got[4]) < 1e-3  # x/y frozen by projection
+
+
+def test_icp_point2point_recovers_transform():
+    pts = RNG.uniform(-5, 5, size=(1500, 3)).astype(np.float32)
+    R = Rs.from_euler("xyz", [0.03, 0.02, 0.1]).as_matrix().astype(np.float32)
+    t = np.array([0.3, -0.1, 0.2], np.float32)
+    src = pts
+    tgt = pts @ R.T + t
+    grid = knn.build(jnp.asarray(tgt), jnp.ones(len(tgt), bool), 1.0, 8192)
+    res = reg.icp_point2point(
+        jnp.asarray(src), jnp.ones(len(src), bool), grid, jnp.asarray(tgt),
+        se3.Pose.identity(), max_iters=50, max_corr_dist=2.0,
+        candidates_per_cell=32,
+    )
+    T = np.asarray(res.pose.to_matrix())
+    np.testing.assert_allclose(T[:3, :3], R, atol=1e-3)
+    np.testing.assert_allclose(T[:3, 3], t, atol=5e-3)
+    assert float(res.fitness) < 1e-4
+
+
+def test_icp_fitness_reflects_mismatch():
+    src = RNG.uniform(-5, 5, size=(500, 3)).astype(np.float32)
+    tgt = RNG.uniform(-5, 5, size=(500, 3)).astype(np.float32)
+    grid = knn.build(jnp.asarray(tgt), jnp.ones(500, bool), 1.0, 4096)
+    res = reg.icp_point2point(
+        jnp.asarray(src), jnp.ones(500, bool), grid, jnp.asarray(tgt),
+        se3.Pose.identity(), max_iters=10, max_corr_dist=2.0,
+        candidates_per_cell=32,
+    )
+    assert float(res.fitness) > 1e-3  # random clouds can't align tightly
+
+
+def test_gicp_recovers_transform_planar():
+    # two crossing planes with noise: plane-to-plane handles this well
+    g = np.arange(-5, 5, 0.1, dtype=np.float32)
+    xx, yy = np.meshgrid(g, g)
+    p1 = np.stack([xx.ravel(), yy.ravel(), 0.02 * RNG.normal(size=xx.size)], 1)
+    p2 = np.stack([xx.ravel(), 0.02 * RNG.normal(size=xx.size), yy.ravel()], 1)
+    p3 = np.stack([0.02 * RNG.normal(size=xx.size), xx.ravel(), yy.ravel()], 1)
+    tgt = np.concatenate([p1, p2, p3]).astype(np.float32)
+    R = Rs.from_euler("xyz", [0.02, -0.01, 0.04]).as_matrix().astype(np.float32)
+    t = np.array([0.1, 0.15, -0.1], np.float32)
+    sel = RNG.choice(len(tgt), 3000, replace=False)
+    src = (tgt[sel] - t) @ R  # so that R src + t == tgt
+
+    tgt_j, src_j = jnp.asarray(tgt), jnp.asarray(src)
+    tmask = jnp.ones(len(tgt), bool)
+    smask = jnp.ones(len(src), bool)
+    tgrid = knn.build(tgt_j, tmask, 1.0, 16384)
+    sgrid = knn.build(src_j, smask, 1.0, 16384)
+    tcov = reg.point_covariances(tgt_j, tmask, tgrid, k=10, candidates_per_cell=64)
+    scov = reg.point_covariances(src_j, smask, sgrid, k=10, candidates_per_cell=64)
+    res = reg.gicp(src_j, smask, scov, tgrid, tgt_j, tcov,
+                   se3.Pose.identity(), max_iters=30, max_corr_dist=1.0,
+                   candidates_per_cell=32)
+    T = np.asarray(res.pose.to_matrix())
+    np.testing.assert_allclose(T[:3, :3], R, atol=2e-3)
+    np.testing.assert_allclose(T[:3, 3], t, atol=2e-2)
+
+
+def test_ndt_recovers_transform():
+    corner_map, surf_map = make_world()
+    tgt = np.concatenate([surf_map, corner_map])
+    R = Rs.from_euler("xyz", [0.01, 0.02, 0.05]).as_matrix().astype(np.float32)
+    t = np.array([0.2, -0.3, 0.1], np.float32)
+    sel = RNG.choice(len(tgt), 4000, replace=False)
+    src = (tgt[sel] - t) @ R
+
+    ndt_map = reg.build_ndt_map(jnp.asarray(tgt), jnp.ones(len(tgt), bool),
+                                resolution=1.0, capacity=4096)
+    res = reg.ndt(jnp.asarray(src), jnp.ones(len(src), bool), ndt_map,
+                  se3.Pose.identity(), max_iters=35, resolution=1.0,
+                  candidates_per_cell=8)
+    T = np.asarray(res.pose.to_matrix())
+    np.testing.assert_allclose(T[:3, :3], R, atol=5e-3)
+    np.testing.assert_allclose(T[:3, 3], t, atol=5e-2)
+    assert float(res.score) > 0.1
+
+
+def test_scan_to_map_jits():
+    corner_map, surf_map = make_world()
+    cg = knn.build(jnp.asarray(corner_map), jnp.ones(len(corner_map), bool), 1.0, 4096)
+    sg = knn.build(jnp.asarray(surf_map), jnp.ones(len(surf_map), bool), 1.0, 16384)
+    corner_scan = jnp.asarray(subsample(corner_map, 100, RNG))
+    surf_scan = jnp.asarray(subsample(surf_map, 500, RNG))
+
+    f = jax.jit(
+        lambda cs, ss, p0: reg.scan_to_map(
+            cs, jnp.ones(cs.shape[0], bool), ss, jnp.ones(ss.shape[0], bool),
+            cg, jnp.asarray(corner_map), sg, jnp.asarray(surf_map),
+            p0, candidates_per_cell=48,
+        ).pose
+    )
+    out = f(corner_scan, surf_scan, pose_vec([0, 0, 0], [0.05, 0, 0]))
+    assert np.isfinite(np.asarray(out)).all()
