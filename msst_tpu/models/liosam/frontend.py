@@ -1,0 +1,109 @@
+"""LIO-SAM front-end: scan assembly, deskew, feature extraction.
+
+One fused program covering the reference's first two processes:
+
+* ``imageProjection`` (``src/imageProjection.cpp``): IMU gyro integration over
+  the scan window, range-image projection, per-point rotation deskew, ring
+  extraction;
+* ``featureExtraction`` (``src/featureExtraction.cpp``): curvature, occlusion
+  marking, sector-wise corner/surface selection, per-ring surface voxel
+  downsample (leaf ``odometry_surf_leaf_size``, :232-236).
+
+Output is two fixed-capacity masked feature clouds in the (deskewed) scan
+frame plus the scan-start orientation hints the mapping stage consumes
+(``cloud_info`` fields imuRollInit/imuPitchInit/imuYawInit).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import features as F
+from ...ops import range_image as ri
+from ...ops import voxel
+from ...ops.pointcloud import Cloud
+
+Array = jax.Array
+
+
+class ScanInput(NamedTuple):
+    """One raw LiDAR scan + its IMU window (fixed shapes).
+
+    xyz:   (N, 3) sensor-frame points
+    mask:  (N,)
+    ring:  (N,) int32
+    time:  (N,) float32 — per-point time offset from scan start [s]
+    scan_start: () absolute scan start time [s]
+    imu_t:    (T,) absolute sample times
+    imu_gyro: (T, 3) rad/s (lidar frame)
+    imu_acc:  (T, 3) m/s^2 (lidar frame)
+    imu_mask: (T,)
+    imu_rpy_init: (3,) orientation hint at scan start from the IMU's own
+        attitude output (cloudInfo.imu*Init, ``imageProjection.cpp:329-330``)
+    imu_available: () bool
+    """
+
+    xyz: Array
+    mask: Array
+    ring: Array
+    time: Array
+    scan_start: Array
+    imu_t: Array
+    imu_gyro: Array
+    imu_acc: Array
+    imu_mask: Array
+    imu_rpy_init: Array
+    imu_available: Array
+
+
+class FrontendOutput(NamedTuple):
+    corner: Cloud       # (scan_corner_cap,) deskewed scan-frame corners
+    surf: Cloud         # (scan_surf_cap,) deskewed downsampled surface points
+    n_corner: Array
+    n_surf: Array
+
+
+def run_frontend(scan: ScanInput, p) -> FrontendOutput:
+    """p: LioParams."""
+    # --- deskew rotation timeline (imuDeskewInfo :305-362)
+    imu_win = ri.ImuWindow(scan.imu_t, scan.imu_gyro, scan.imu_acc, scan.imu_mask)
+    times, rots = ri.imu_rotation_timeline(imu_win)
+    n_imu = jnp.sum(scan.imu_mask.astype(jnp.int32))
+    deskewed = ri.deskew(
+        scan.xyz,
+        scan.scan_start + scan.time,
+        times, rots, n_imu,
+        t_start=scan.scan_start,
+        enabled=scan.imu_available & (n_imu > 1),
+    )
+    cloud = Cloud.create(deskewed, mask=scan.mask)
+
+    # --- range image + ring extraction (projectPointCloud/cloudExtraction)
+    img = ri.project(cloud, scan.ring, p.n_scan, p.horizon_scan,
+                     p.lidar_min_range, p.lidar_max_range, p.downsample_rate)
+    ext = ri.extract_rings(img)
+
+    # --- LOAM features
+    masks = F.extract_features(ext, p.edge_threshold, p.surf_threshold)
+
+    flat_xyz = ext.xyz.reshape(-1, 3)
+    corner_mask = masks.corner.reshape(-1)
+    surf_mask = masks.surface.reshape(-1)
+    ring_id = jnp.broadcast_to(
+        jnp.arange(p.n_scan, dtype=jnp.int32)[:, None], masks.surface.shape
+    ).reshape(-1)
+
+    from ...ops.pointcloud import compact
+
+    corner = compact(Cloud.create(flat_xyz, mask=corner_mask), p.scan_corner_cap)
+
+    # per-ring surface voxel downsample (featureExtraction.cpp:226-236)
+    surf_full = Cloud.create(flat_xyz, mask=surf_mask)
+    surf = voxel.voxel_downsample(
+        surf_full, p.odometry_surf_leaf_size, capacity=p.scan_surf_cap,
+        extra_key=ring_id,
+    )
+    return FrontendOutput(corner, surf, corner.count, surf.count)

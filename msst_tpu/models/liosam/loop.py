@@ -1,0 +1,134 @@
+"""Loop closure: the second, lower-rate compiled program.
+
+Rebuild of the reference's loop-closure thread
+(``mapOptmization.cpp:503-608,1477-1495``): radius-search the keyframe
+positions for an old (>30 s) keyframe near the newest one, assemble a
++-N-keyframe submap, run ICP, and on fitness < 0.3 add a between factor and
+re-optimize the whole graph (iSAM2 gets 5 extra update passes after a loop,
+:1540-1548 — here a full-graph Gauss-Newton with all poses free).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import graph as graph_ops
+from ...ops import knn, registration, se3, voxel
+from ...ops.pointcloud import Cloud
+from .params import LioParams
+from .state import LioState
+
+Array = jax.Array
+
+
+class LoopResult(NamedTuple):
+    found: Array      # () bool — a loop factor was added
+    cur: Array        # () int32 current keyframe index
+    cand: Array       # () int32 matched old keyframe index
+    fitness: Array    # () ICP fitness
+
+
+def _submap(state: LioState, center: Array, half_width: Array, p: LioParams,
+            cap: int) -> Cloud:
+    """Merged corner+surf clouds of keyframes [center-h, center+h] in map
+    frame, voxel-downsampled (``loopFindNearKeyframes`` :699-721)."""
+    kf = state.kf
+    K = kf.pose6.shape[0]
+    S = p.history_keyframe_search_num * 2 + 1
+    offs = jnp.arange(S) - p.history_keyframe_search_num
+    idx = center + offs
+    ok = (idx >= 0) & (idx < kf.count) & (jnp.abs(offs) <= half_width)
+    idx = jnp.clip(idx, 0, K - 1)
+
+    poses = se3.Pose.from_vec6(kf.pose6[idx])
+    corner = poses.apply(kf.corner_xyz[idx])
+    surf = poses.apply(kf.surf_xyz[idx])
+    xyz = jnp.concatenate([corner.reshape(-1, 3), surf.reshape(-1, 3)], axis=0)
+    mask = jnp.concatenate([
+        (kf.corner_mask[idx] & ok[:, None]).reshape(-1),
+        (kf.surf_mask[idx] & ok[:, None]).reshape(-1),
+    ])
+    return voxel.voxel_downsample(
+        Cloud.create(xyz, mask=mask), p.loop_leaf_size, capacity=cap)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def loop_closure_step(state: LioState, p: LioParams):
+    """Detect + close one loop; returns (new_state, LoopResult)."""
+    kf = state.kf
+    K = kf.pose6.shape[0]
+    cur = jnp.maximum(kf.count - 1, 0)
+    cur_pos = kf.positions[cur]
+    cur_time = kf.time[cur]
+
+    # detectLoopClosureDistance :610-643
+    d2 = jnp.sum((kf.positions - cur_pos) ** 2, axis=1)
+    old = (cur_time - kf.time) > p.history_keyframe_search_time_diff
+    elig = kf.mask & old
+    d2 = jnp.where(elig, d2, jnp.inf)
+    cand = jnp.argmin(d2)
+    candidate_ok = (kf.count > 1) & (
+        d2[cand] < p.history_keyframe_search_radius**2)
+
+    def try_close():
+        cur_cloud = _submap(state, cur, jnp.asarray(0), p, p.loop_submap_cap // 2)
+        hist_cloud = _submap(state, cand,
+                             jnp.asarray(p.history_keyframe_search_num), p,
+                             p.loop_submap_cap)
+        grid = knn.build(hist_cloud.xyz, hist_cloud.mask,
+                         cell_size=2.0, table_size=p.knn_table_size)
+        res = registration.icp_point2point(
+            cur_cloud.xyz, cur_cloud.mask, grid, hist_cloud.xyz,
+            se3.Pose.identity(), max_iters=100,
+            max_corr_dist=p.history_keyframe_search_radius,
+            candidates_per_cell=p.knn_candidates,
+        )
+        good = res.converged & (res.fitness < p.history_keyframe_fitness_score)
+        return good, res.pose, res.fitness
+
+    good, icp_pose, fitness = jax.lax.cond(
+        candidate_ok, try_close,
+        lambda: (jnp.asarray(False), se3.Pose.identity(), jnp.asarray(jnp.inf)),
+    )
+
+    def add_loop(state):
+        graph = state.graph
+        # corrected current pose, relative to candidate (``performLoopClosure``
+        # :575-604: poseFrom = icp * current, poseTo = candidate)
+        t_cur = se3.Pose.from_vec6(kf.pose6[cur])
+        t_cand = se3.Pose.from_vec6(kf.pose6[cand])
+        corrected = icp_pose.compose(t_cur)
+        meas = t_cand.between(corrected).inverse()  # factor cur -> cand
+        sigma = jnp.maximum(fitness, 1e-2)
+        si = jnp.full(6, 1.0) / sigma
+        bslot = jnp.minimum(K - 1 + state.n_loop,
+                            graph.betweens.i.shape[0] - 1)
+        b = graph.betweens
+        b = b._replace(
+            i=b.i.at[bslot].set(cur),
+            j=b.j.at[bslot].set(cand),
+            meas=se3.Pose(b.meas.q.at[bslot].set(meas.q),
+                          b.meas.t.at[bslot].set(meas.t)),
+            sqrt_info=b.sqrt_info.at[bslot].set(si),
+            mask=b.mask.at[bslot].set(True),
+        )
+        graph = graph._replace(betweens=b)
+        # full-graph re-optimization (the post-loop extra iSAM passes)
+        graph = graph_ops.optimize(graph, iters=7)
+        opt6 = se3.Pose(graph.poses.q, graph.poses.t).to_vec6()
+        new_kf = kf._replace(pose6=jnp.where(kf.mask[:, None], opt6, kf.pose6))
+        # history was rewritten -> the cached local map is stale; rebuild it
+        from .mapping import _rebuild_local_map
+        local_map = _rebuild_local_map(new_kf, new_kf.pose6[cur][3:],
+                                       new_kf.time[cur], p)
+        return state._replace(
+            kf=new_kf, graph=graph, n_loop=state.n_loop + 1, local_map=local_map,
+            pose6=new_kf.pose6[cur], loop_closed=jnp.asarray(True),
+        )
+
+    new_state = jax.lax.cond(good, add_loop, lambda s: s, state)
+    return new_state, LoopResult(good, cur, cand, fitness)

@@ -1,0 +1,324 @@
+"""The fused LIO odometry step: one compiled program per scan.
+
+Covers the reference's ``mapOptmization`` per-scan pipeline
+(``laserCloudInfoHandler`` ``src/mapOptmization.cpp:237-271``):
+
+* initial guess from the IMU filter / IMU attitude (``updateInitialGuess``
+  :786-845),
+* local map assembly from nearby keyframes (``extractSurroundingKeyFrames``
+  :862-938 — KD-tree radius search becomes a masked top-k over keyframe
+  positions; the transformed-cloud cache becomes a batched gather+transform,
+  which on TPU is cheaper than caching),
+* scan downsample (:955-967) + scan-to-map Gauss-Newton (:1282-1310),
+* roll/pitch slerp fusion with the IMU attitude + z clamp
+  (``transformUpdate`` :1312-1342),
+* keyframe gating (``saveFrame`` :1354-1379), prior/between/GPS factors
+  (:1381-1475), windowed graph optimization standing in for the iSAM2
+  update (:1497-1581), pose-history rewrite (``correctPoses`` :1583-1614),
+* the ESKF update that replaces the ``imuPreintegration`` process.
+
+Everything below is shape-static and jit-compiled once per parameter set.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import graph as graph_ops
+from ...ops import imu as imu_ops
+from ...ops import knn, registration, se3, voxel
+from ...ops.pointcloud import Cloud
+from . import imu_fusion
+from .frontend import FrontendOutput, ScanInput, run_frontend
+from .params import LioParams
+from .state import KeyframeStore, LioState
+
+Array = jax.Array
+
+
+class StepInput(NamedTuple):
+    scan: ScanInput
+    # inter-scan IMU (previous scan -> this scan) for the filter/initial guess
+    pre_t: Array      # (T,)
+    pre_gyro: Array   # (T, 3)
+    pre_acc: Array    # (T, 3)
+    pre_mask: Array   # (T,)
+    gps_xyz: Array    # (3,)
+    gps_sigma: Array  # (3,)
+    gps_valid: Array  # () bool
+
+
+class StepOutput(NamedTuple):
+    pose: se3.Pose
+    pose6: Array
+    velocity: Array
+    bias: imu_ops.ImuBias
+    degenerate: Array
+    is_keyframe: Array
+    n_corner: Array
+    n_surf: Array
+    kf_count: Array
+
+
+# ---------------------------------------------------------------------------
+# local map assembly
+# ---------------------------------------------------------------------------
+
+
+def _assemble_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
+                        p: LioParams):
+    """Select nearby keyframes and fuse their feature clouds into fixed-cap
+    masked map arrays (``extractNearby``/``extractCloud`` :862-938: radius
+    search + density downsample + always the last-10s keyframes)."""
+    K = kf.pose6.shape[0]
+    kmask = kf.mask
+    d2 = jnp.sum((kf.positions - position) ** 2, axis=1)
+    recent = (scan_time - kf.time) < 10.0
+    in_radius = d2 < p.surrounding_keyframe_search_radius**2
+    eligible = kmask & (in_radius | recent)
+    eff = jnp.where(eligible, jnp.where(recent, 0.0, d2), jnp.inf)
+    neg, sel_idx = jax.lax.top_k(-eff, p.near_keyframes)
+    sel_ok = jnp.isfinite(-neg)
+
+    def gather(cloud_xyz, cloud_mask, cap, leaf):
+        pts = cloud_xyz[sel_idx]                          # (S, C, 3)
+        msk = cloud_mask[sel_idx] & sel_ok[:, None]
+        poses = se3.Pose.from_vec6(kf.pose6[sel_idx])     # batched (S,)
+        world = poses.apply(pts)                          # (S, C, 3)
+        flat = Cloud.create(world.reshape(-1, 3), mask=msk.reshape(-1))
+        return voxel.voxel_downsample(flat, leaf, capacity=cap)
+
+    corner_map = gather(kf.corner_xyz, kf.corner_mask, p.map_corner_cap,
+                        p.mapping_corner_leaf_size)
+    surf_map = gather(kf.surf_xyz, kf.surf_mask, p.map_surf_cap,
+                      p.mapping_surf_leaf_size)
+    return corner_map, surf_map
+
+
+def _rebuild_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
+                       p: LioParams):
+    from .state import LocalMap
+
+    corner_map, surf_map = _assemble_local_map(kf, position, scan_time, p)
+    return LocalMap(
+        corner_xyz=corner_map.xyz, corner_mask=corner_map.mask,
+        surf_xyz=surf_map.xyz, surf_mask=surf_map.mask,
+        corner_grid=knn.build(corner_map.xyz, corner_map.mask, 1.0,
+                              p.knn_table_size),
+        surf_grid=knn.build(surf_map.xyz, surf_map.mask, 1.0,
+                            p.knn_table_size),
+        valid=jnp.asarray(True),
+    )
+
+
+# ---------------------------------------------------------------------------
+# keyframe + factor insertion
+# ---------------------------------------------------------------------------
+
+
+def _insert_keyframe(state: LioState, pose6: Array, scan_time: Array,
+                     corner: Cloud, surf: Cloud, inp: StepInput,
+                     p: LioParams) -> LioState:
+    kf, graph = state.kf, state.graph
+    K = kf.pose6.shape[0]
+    slot = jnp.minimum(kf.count, K - 1)
+    pose = se3.Pose.from_vec6(pose6)
+
+    # fit the (already voxel-downsampled) scan features into the keyframe caps
+    from ...ops.pointcloud import compact
+    corner = compact(corner, p.kf_corner_cap)
+    surf = compact(surf, p.kf_surf_cap)
+
+    kf = kf._replace(
+        pose6=kf.pose6.at[slot].set(pose6),
+        time=kf.time.at[slot].set(scan_time),
+        corner_xyz=kf.corner_xyz.at[slot].set(corner.xyz),
+        corner_mask=kf.corner_mask.at[slot].set(corner.mask),
+        surf_xyz=kf.surf_xyz.at[slot].set(surf.xyz),
+        surf_mask=kf.surf_mask.at[slot].set(surf.mask),
+        count=jnp.minimum(kf.count + 1, K),
+    )
+
+    # graph pose + mask
+    poses = graph.poses
+    poses = se3.Pose(poses.q.at[slot].set(pose.q), poses.t.at[slot].set(pose.t))
+    graph = graph._replace(poses=poses,
+                           pose_mask=graph.pose_mask.at[slot].set(True))
+
+    # prior (first keyframe) — :1386-1394
+    def add_prior(graph):
+        f = graph.priors
+        si = jnp.concatenate([jnp.full(3, 1.0 / p.prior_sigma_rot),
+                              jnp.full(3, 1.0 / p.prior_sigma_trans)])
+        f = f._replace(
+            idx=f.idx.at[0].set(0),
+            meas=se3.Pose(f.meas.q.at[0].set(pose.q), f.meas.t.at[0].set(pose.t)),
+            sqrt_info=f.sqrt_info.at[0].set(si),
+            mask=f.mask.at[0].set(True),
+        )
+        return graph._replace(priors=f)
+
+    # odometry between factor prev -> slot — :1388-1394
+    def add_between(graph):
+        prev = slot - 1
+        prev_pose = se3.Pose.from_vec6(kf.pose6[prev])
+        meas = prev_pose.between(pose)
+        b = graph.betweens
+        bslot = prev  # chain factor i occupies slot i (0..K-2)
+        si = jnp.concatenate([jnp.full(3, 1.0 / p.odom_sigma_rot),
+                              jnp.full(3, 1.0 / p.odom_sigma_trans)])
+        b = b._replace(
+            i=b.i.at[bslot].set(prev),
+            j=b.j.at[bslot].set(slot),
+            meas=se3.Pose(b.meas.q.at[bslot].set(meas.q),
+                          b.meas.t.at[bslot].set(meas.t)),
+            sqrt_info=b.sqrt_info.at[bslot].set(si),
+            mask=b.mask.at[bslot].set(True),
+        )
+        return graph._replace(betweens=b)
+
+    graph = jax.lax.cond(slot == 0, add_prior, add_between, graph)
+
+    # GPS factor (addGPSFactor :1397-1475; covariance gating is host-side)
+    def add_gps(args):
+        graph, n_gps = args
+        gslot = jnp.minimum(n_gps, graph.gps.idx.shape[0] - 1)
+        f = graph.gps
+        f = f._replace(
+            idx=f.idx.at[gslot].set(slot),
+            xyz=f.xyz.at[gslot].set(inp.gps_xyz),
+            sqrt_info=f.sqrt_info.at[gslot].set(1.0 / jnp.maximum(inp.gps_sigma, 1e-3)),
+            mask=f.mask.at[gslot].set(True),
+        )
+        return graph._replace(gps=f), n_gps + 1
+
+    graph, n_gps = jax.lax.cond(
+        inp.gps_valid, add_gps, lambda a: a, (graph, state.n_gps)
+    )
+
+    # windowed optimization (iSAM2-update stand-in)
+    free = graph.pose_mask & (jnp.arange(K) >= kf.count - p.graph_window)
+    graph = graph_ops.optimize(graph, free_mask=free, iters=2)
+
+    # correctPoses: keyframe poses follow the graph
+    opt6 = se3.Pose(graph.poses.q, graph.poses.t).to_vec6()
+    kf = kf._replace(pose6=jnp.where(kf.mask[:, None], opt6, kf.pose6))
+
+    # rebuild the cached local map around the (optimized) new keyframe
+    local_map = _rebuild_local_map(kf, kf.pose6[slot][3:], scan_time, p)
+
+    return state._replace(kf=kf, graph=graph, n_gps=n_gps,
+                          local_map=local_map, pose6=kf.pose6[slot])
+
+
+# ---------------------------------------------------------------------------
+# the step
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("p",))
+def odometry_step(state: LioState, inp: StepInput, p: LioParams):
+    front = run_frontend(inp.scan, p)
+
+    # further downsample for scan-to-map (downsampleCurrentScan :955-967)
+    corner_ds = voxel.voxel_downsample(front.corner, p.mapping_corner_leaf_size,
+                                       capacity=p.scan_corner_cap)
+    surf_ds = voxel.voxel_downsample(front.surf, p.mapping_surf_leaf_size,
+                                     capacity=p.scan_surf_cap)
+
+    # --- inter-scan IMU preintegration + filter propagation
+    pre = imu_ops.preintegrate(inp.pre_t, inp.pre_gyro, inp.pre_acc,
+                               inp.pre_mask, state.filter.bias, p.imu_params)
+    fs_prop = jax.lax.cond(
+        state.initialized & (pre.n_used > 0),
+        lambda: imu_fusion.propagate(state.filter, pre, p.imu_params),
+        lambda: state.filter,
+    )
+
+    # --- initial guess (updateInitialGuess :786-845)
+    rpy_init = inp.scan.imu_rpy_init
+    first_guess = jnp.concatenate([rpy_init, jnp.zeros(3)])
+    prop_pose = se3.Pose(fs_prop.nav.q, fs_prop.nav.p)
+    cont_guess = prop_pose.to_vec6()
+    init6 = jnp.where(state.initialized, cont_guess, first_guess)
+
+    # --- scan-to-map against the cached local map (rebuilt at keyframes)
+    lm = state.local_map
+    have_map = (state.kf.count > 0) & lm.valid
+    enough = (front.n_corner > p.edge_feature_min_valid_num) & (
+        front.n_surf > p.surf_feature_min_valid_num)
+
+    def register():
+        res = registration.scan_to_map(
+            corner_ds.xyz, corner_ds.mask, surf_ds.xyz, surf_ds.mask,
+            lm.corner_grid, lm.corner_xyz, lm.surf_grid, lm.surf_xyz,
+            init6, max_iters=p.scan2map_max_iters,
+            candidates_per_cell=p.knn_candidates,
+        )
+        return res.pose, res.degenerate
+
+    pose6, degenerate = jax.lax.cond(
+        have_map & enough, register, lambda: (init6, jnp.asarray(False))
+    )
+
+    # --- transformUpdate: slerp-fuse roll/pitch with IMU attitude (:1312-1342)
+    def fuse_rpy(pose6):
+        w = p.imu_rpy_weight
+        roll = se3.slerp_angle(pose6[0], rpy_init[0], w)
+        pitch = se3.slerp_angle(pose6[1], rpy_init[1], w)
+        return pose6.at[0].set(roll).at[1].set(pitch)
+
+    pose6 = jax.lax.cond(inp.scan.imu_available, fuse_rpy, lambda x: x, pose6)
+    pose6 = pose6.at[0].set(jnp.clip(pose6[0], -p.rotation_tolerance, p.rotation_tolerance))
+    pose6 = pose6.at[1].set(jnp.clip(pose6[1], -p.rotation_tolerance, p.rotation_tolerance))
+    pose6 = pose6.at[5].set(jnp.clip(pose6[5], -p.z_tolerance, p.z_tolerance))
+
+    # --- keyframe gate (saveFrame :1354-1379)
+    last_kf6 = state.kf.pose6[jnp.maximum(state.kf.count - 1, 0)]
+    d = se3.Pose.from_vec6(last_kf6).between(se3.Pose.from_vec6(pose6))
+    drpy = jnp.abs(se3.quat_to_rpy(d.q))
+    dist = jnp.linalg.norm(d.t)
+    small = jnp.all(drpy < p.surrounding_keyframe_adding_angle_threshold) & (
+        dist < p.surrounding_keyframe_adding_dist_threshold)
+    is_kf = (state.kf.count == 0) | ~small
+
+    state2 = jax.lax.cond(
+        is_kf,
+        lambda s: _insert_keyframe(s, pose6, inp.scan.scan_start,
+                                   corner_ds, surf_ds, inp, p),
+        lambda s: s._replace(pose6=pose6),
+        state,
+    )
+    pose6_out = state2.pose6
+    pose_out = se3.Pose.from_vec6(pose6_out)
+
+    # --- ESKF measurement update / (re)initialization
+    def init_filter():
+        return imu_fusion.FilterState.initial(pose_out)
+
+    def update_filter():
+        fs = imu_fusion.update_with_pose(
+            fs_prop, pose_out, p.odom_sigma_rot * 10, p.odom_sigma_trans * 10,
+            degenerate)
+        return jax.lax.cond(imu_fusion.reset_needed(fs), init_filter, lambda: fs)
+
+    fs_new = jax.lax.cond(state.initialized, update_filter, init_filter)
+
+    new_state = state2._replace(
+        filter=fs_new,
+        last_scan_time=inp.scan.scan_start,
+        initialized=jnp.asarray(True),
+        degenerate=degenerate,
+        loop_closed=jnp.asarray(False),
+    )
+    out = StepOutput(
+        pose=pose_out, pose6=pose6_out, velocity=fs_new.nav.v, bias=fs_new.bias,
+        degenerate=degenerate, is_keyframe=is_kf,
+        n_corner=front.n_corner, n_surf=front.n_surf,
+        kf_count=new_state.kf.count,
+    )
+    return new_state, out

@@ -1,0 +1,121 @@
+"""LIO-SAM parameter set.
+
+Mirrors the reference's ``config/params.yaml`` (loaded by ``ParamServer``,
+``include/utility.h:63-250``), split into *static* parameters that fix
+compiled shapes (sensor geometry, capacity caps) and *runtime* thresholds.
+Defaults follow the canonical VLP-16 configuration
+(``config/params.yaml:26-93``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class LioParams:
+    # --- Lidar sensor geometry (params.yaml:22-31) — static, fixes shapes
+    n_scan: int = 16
+    horizon_scan: int = 1800
+    downsample_rate: int = 1
+    lidar_min_range: float = 1.0
+    lidar_max_range: float = 1000.0
+    max_points: int = 65536          # input cloud capacity
+
+    # --- IMU (params.yaml:33-44)
+    imu_acc_noise: float = 3.9939570888238808e-03
+    imu_gyr_noise: float = 1.5636343949698187e-03
+    imu_acc_bias_noise: float = 6.4356659353532566e-05
+    imu_gyr_bias_noise: float = 3.5640318696367613e-05
+    imu_gravity: float = 9.80511
+    imu_rpy_weight: float = 0.01
+    imu_window: int = 256            # IMU samples buffered per scan — static
+    imu_rate: float = 500.0
+
+    # --- LOAM thresholds (params.yaml:60-64)
+    edge_threshold: float = 1.0
+    surf_threshold: float = 0.1
+    edge_feature_min_valid_num: int = 10
+    surf_feature_min_valid_num: int = 100
+
+    # --- voxel leaf sizes (params.yaml:66-69)
+    odometry_surf_leaf_size: float = 0.4
+    mapping_corner_leaf_size: float = 0.2
+    mapping_surf_leaf_size: float = 0.4
+
+    # --- robot motion constraints (params.yaml:71-73)
+    z_tolerance: float = 1000.0
+    rotation_tolerance: float = 1000.0
+
+    # --- scan-to-map / keyframing (params.yaml:75-86)
+    mapping_process_interval: float = 0.15
+    surrounding_keyframe_adding_dist_threshold: float = 1.0
+    surrounding_keyframe_adding_angle_threshold: float = 0.2
+    surrounding_keyframe_density: float = 2.0
+    surrounding_keyframe_search_radius: float = 50.0
+    scan2map_max_iters: int = 30
+
+    # --- loop closure (params.yaml:88-96)
+    loop_closure_enabled: bool = True
+    loop_closure_frequency: float = 1.0
+    surrounding_keyframe_size: int = 50
+    history_keyframe_search_radius: float = 15.0
+    history_keyframe_search_time_diff: float = 30.0
+    history_keyframe_search_num: int = 25
+    history_keyframe_fitness_score: float = 0.3
+    loop_leaf_size: float = 0.4   # submap downsample for loop ICP (downSizeFilterICP)
+
+    # --- GPS fusion (params.yaml:14-18)
+    use_gps_elevation: bool = False
+    gps_cov_threshold: float = 2.0
+    pose_cov_threshold: float = 25.0
+
+    # --- static capacity caps (TPU fixed shapes; no reference analogue —
+    # the reference grows dynamically, see SURVEY.md §7 "dynamic shapes")
+    max_keyframes: int = 1024
+    kf_corner_cap: int = 2048        # stored downsampled corners per keyframe (= scan cap: truncation would bias the map)
+    kf_surf_cap: int = 8192
+    scan_corner_cap: int = 2048      # downsampled features per scan
+    scan_surf_cap: int = 8192
+    near_keyframes: int = 32         # local-map keyframe gather count
+    map_corner_cap: int = 16384      # local map after voxel downsample
+    map_surf_cap: int = 49152
+    loop_submap_cap: int = 16384     # loop-closure ICP submap points
+    max_gps_factors: int = 256
+    max_loop_factors: int = 128
+    graph_window: int = 16           # free poses in windowed graph updates
+    knn_table_size: int = 32768
+    knn_candidates: int = 24
+
+    # --- solver noise (gtsam sigmas in mapOptmization.cpp:1381-1495)
+    prior_sigma_rot: float = 1e-2
+    prior_sigma_trans: float = 1e-1
+    odom_sigma_rot: float = 1e-3
+    odom_sigma_trans: float = 1e-2
+
+    @property
+    def imu_params(self):
+        from ...ops.imu import ImuParams
+
+        return ImuParams(
+            acc_noise=self.imu_acc_noise,
+            gyr_noise=self.imu_gyr_noise,
+            acc_bias_noise=self.imu_acc_bias_noise,
+            gyr_bias_noise=self.imu_gyr_bias_noise,
+            gravity=self.imu_gravity,
+        )
+
+
+def tiny_params(**overrides) -> LioParams:
+    """Small-capacity parameter set for CPU tests."""
+    base = dict(
+        n_scan=16, horizon_scan=360, max_points=8192,
+        imu_window=64,
+        max_keyframes=64, kf_corner_cap=512, kf_surf_cap=2048,
+        scan_corner_cap=512, scan_surf_cap=2048,
+        near_keyframes=8, map_corner_cap=2048, map_surf_cap=8192,
+        loop_submap_cap=4096, loop_leaf_size=0.8, max_gps_factors=16, max_loop_factors=16,
+        knn_table_size=4096, scan2map_max_iters=10,
+    )
+    base.update(overrides)
+    return LioParams(**base)

@@ -1,0 +1,179 @@
+"""Host-side orchestration of the LIO-SAM pipeline.
+
+The host loop is the only non-compiled code: it pads raw sensor arrays to the
+static shapes, threads the device-resident state through the compiled
+odometry step, and triggers the loop-closure program at its own (lower) rate
+— mirroring the reference's 4-process + loop-thread topology
+(``module_loam.launch:5-8``, ``mapOptmization.cpp:1770``) collapsed onto one
+device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import se3
+from .frontend import ScanInput
+from .loop import loop_closure_step
+from .mapping import StepInput, odometry_step
+from .params import LioParams
+from .state import LioState, init_state
+
+
+def _pad(a: np.ndarray, n: int, fill=0):
+    a = np.asarray(a)
+    if a.shape[0] >= n:
+        return a[:n].copy()
+    pad_width = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad_width, constant_values=fill)
+
+
+@dataclasses.dataclass
+class Trajectory:
+    times: list
+    poses: list  # 4x4 matrices
+
+    def as_matrices(self) -> np.ndarray:
+        return np.stack(self.poses) if self.poses else np.zeros((0, 4, 4))
+
+    def ate_rmse(self, gt: np.ndarray, align: bool = True) -> float:
+        """Absolute trajectory error vs ground-truth positions (N, 3),
+        Umeyama-aligned like the standard KITTI/TUM evaluators."""
+        est = self.as_matrices()[:, :3, 3]
+        n = min(len(est), len(gt))
+        est, gt = est[:n], gt[:n]
+        if align and n >= 3:
+            mu_e, mu_g = est.mean(0), gt.mean(0)
+            H = (est - mu_e).T @ (gt - mu_g)
+            U, _, Vt = np.linalg.svd(H)
+            d = np.sign(np.linalg.det(Vt.T @ U.T))
+            D = np.diag([1.0, 1.0, d])
+            R = Vt.T @ D @ U.T
+            est = (est - mu_e) @ R.T + mu_g
+        return float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))
+
+
+class LioSam:
+    """Tightly-coupled LiDAR-inertial odometry, one compiled step per scan."""
+
+    def __init__(self, params: Optional[LioParams] = None):
+        self.p = params or LioParams()
+        self.state: LioState = init_state(self.p)
+        self.trajectory = Trajectory([], [])
+        self._scan_count = 0
+        self._last_scan_time = None
+        self._loop_every = max(
+            1, int(round(1.0 / max(self.p.loop_closure_frequency, 1e-3) * 10))
+        )  # scans between loop attempts, assuming ~10 Hz scans
+
+    # -- input assembly -----------------------------------------------------
+
+    def _make_input(self, xyz, ring, time_rel, scan_start,
+                    imu_t=None, imu_gyro=None, imu_acc=None, imu_rpy=None,
+                    gps_xyz=None, gps_sigma=None) -> StepInput:
+        p = self.p
+        n = len(xyz)
+        mask = np.zeros(p.max_points, bool)
+        mask[: min(n, p.max_points)] = True
+        T = p.imu_window
+
+        if imu_t is None or len(imu_t) == 0:
+            imu_t = np.zeros(0, np.float32)
+            imu_gyro = np.zeros((0, 3), np.float32)
+            imu_acc = np.zeros((0, 3), np.float32)
+        imu_t = np.asarray(imu_t, np.float32)
+
+        # deskew window: samples covering the scan
+        scan_end = scan_start + (float(np.max(time_rel)) if n else 0.1)
+        in_scan = (imu_t >= scan_start - 0.01) & (imu_t <= scan_end + 0.01)
+        # inter-scan window: previous scan -> current scan start
+        t_prev = self._last_scan_time if self._last_scan_time is not None else scan_start
+        in_pre = (imu_t >= t_prev) & (imu_t <= scan_start + 0.005)
+
+        def win(sel):
+            k = int(sel.sum())
+            m = np.zeros(T, bool)
+            m[: min(k, T)] = True
+            return (
+                _pad(imu_t[sel], T), _pad(np.asarray(imu_gyro, np.float32)[sel], T),
+                _pad(np.asarray(imu_acc, np.float32)[sel], T), m,
+            )
+
+        st, sg, sa, sm = win(in_scan)
+        pt, pg, pa, pm = win(in_pre)
+        imu_avail = np.asarray(sm.sum() > 1)
+
+        scan = ScanInput(
+            xyz=jnp.asarray(_pad(np.asarray(xyz, np.float32), p.max_points)),
+            mask=jnp.asarray(mask),
+            ring=jnp.asarray(_pad(np.asarray(ring, np.int32), p.max_points)),
+            time=jnp.asarray(_pad(np.asarray(time_rel, np.float32), p.max_points)),
+            scan_start=jnp.asarray(np.float32(scan_start)),
+            imu_t=jnp.asarray(st), imu_gyro=jnp.asarray(sg),
+            imu_acc=jnp.asarray(sa), imu_mask=jnp.asarray(sm),
+            imu_rpy_init=jnp.asarray(
+                np.asarray(imu_rpy, np.float32) if imu_rpy is not None else np.zeros(3, np.float32)),
+            imu_available=jnp.asarray(imu_avail),
+        )
+        return StepInput(
+            scan=scan,
+            pre_t=jnp.asarray(pt), pre_gyro=jnp.asarray(pg),
+            pre_acc=jnp.asarray(pa), pre_mask=jnp.asarray(pm),
+            gps_xyz=jnp.asarray(
+                np.asarray(gps_xyz, np.float32) if gps_xyz is not None else np.zeros(3, np.float32)),
+            gps_sigma=jnp.asarray(
+                np.asarray(gps_sigma, np.float32) if gps_sigma is not None else np.ones(3, np.float32)),
+            gps_valid=jnp.asarray(gps_xyz is not None),
+        )
+
+    # -- public API ---------------------------------------------------------
+
+    def process_scan(self, xyz, ring, time_rel, scan_start, **sensors):
+        """Feed one scan (+ optional imu_t/imu_gyro/imu_acc/imu_rpy/gps_xyz/
+        gps_sigma keyword arrays); returns the StepOutput."""
+        inp = self._make_input(xyz, ring, time_rel, scan_start, **sensors)
+        self.state, out = odometry_step(self.state, inp, self.p)
+        self._last_scan_time = scan_start
+        self._scan_count += 1
+
+        self.trajectory.times.append(scan_start)
+        self.trajectory.poses.append(np.asarray(out.pose.to_matrix()))
+
+        if (self.p.loop_closure_enabled
+                and self._scan_count % self._loop_every == 0):
+            self.state, loop = loop_closure_step(self.state, self.p)
+            if bool(loop.found):
+                # rewrite recorded trajectory tail from optimized keyframes
+                self._resync_trajectory()
+        return out
+
+    def _resync_trajectory(self):
+        kf = self.state.kf
+        n = int(kf.count)
+        poses6 = np.asarray(kf.pose6[:n])
+        times = np.asarray(kf.time[:n])
+        # map keyframe times onto trajectory entries
+        tmap = {round(float(t), 6): i for i, t in enumerate(self.trajectory.times)}
+        for t, v6 in zip(times, poses6):
+            i = tmap.get(round(float(t), 6))
+            if i is not None:
+                self.trajectory.poses[i] = np.asarray(
+                    se3.Pose.from_vec6(jnp.asarray(v6)).to_matrix())
+
+    def save_map(self):
+        """Terminal map export (the ``save_map`` service,
+        ``mapOptmization.cpp:355-419``): returns dict of numpy arrays."""
+        kf = self.state.kf
+        n = int(kf.count)
+        out = {"trajectory": np.asarray(kf.pose6[:n]), "times": np.asarray(kf.time[:n])}
+        poses = se3.Pose.from_vec6(jnp.asarray(np.asarray(kf.pose6[:n])))
+        corner = np.asarray(poses.apply(jnp.asarray(np.asarray(kf.corner_xyz[:n]))))
+        surf = np.asarray(poses.apply(jnp.asarray(np.asarray(kf.surf_xyz[:n]))))
+        out["corner_map"] = corner[np.asarray(kf.corner_mask[:n])]
+        out["surf_map"] = surf[np.asarray(kf.surf_mask[:n])]
+        return out

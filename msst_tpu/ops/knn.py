@@ -43,7 +43,10 @@ class HashGrid(NamedTuple):
     bucket_start: Array  # (H,) offset of each bucket in the sorted arrays
     bucket_count: Array  # (H,)
     cell_size: Array    # () float32
-    table_size: int     # static H
+
+    @property
+    def table_size(self) -> int:  # static H, derived so the pytree stays array-only
+        return self.bucket_start.shape[0]
 
 
 def _hash_coords(c: Array, table_size: int) -> Array:
@@ -72,7 +75,6 @@ def build(xyz: Array, mask: Array, cell_size: float, table_size: int = 8192) -> 
         bucket_start=starts.astype(jnp.int32),
         bucket_count=(ends - starts).astype(jnp.int32),
         cell_size=cell,
-        table_size=table_size,
     )
 
 
@@ -110,11 +112,11 @@ def query(
     ok = ok.reshape(q_xyz.shape[0], 27 * C)
 
     # Duplicate suppression: the same bucket can appear under several of the
-    # 27 probes when distinct cells collide to one hash.  Keep the first probe.
-    first_probe = jnp.ones_like(hb, dtype=bool)
-    for j in range(1, 27):
-        dup = jnp.any(hb[:, j : j + 1] == hb[:, :j], axis=1)
-        first_probe = first_probe.at[:, j].set(~dup)
+    # 27 probes when distinct cells collide to one hash.  Keep the first probe
+    # (vectorized: probe j is a duplicate iff some earlier probe has equal hash).
+    eq = hb[:, :, None] == hb[:, None, :]                      # (Q, 27, 27)
+    earlier = jnp.tril(jnp.ones((27, 27), bool), k=-1)
+    first_probe = ~jnp.any(eq & earlier[None], axis=2)
     ok &= jnp.repeat(first_probe, C, axis=1)
 
     pts = grid.xyz[cand]                                       # (Q, 27C, 3)

@@ -38,7 +38,9 @@ def voxel_downsample(
     index, to reproduce the reference's *per-ring* surface downsampling
     (``featureExtraction.cpp:226-236`` runs one VoxelGrid per ring).
     capacity: static output size (default: input capacity).  If more voxels
-    are occupied than capacity, the lexicographically-smallest survive.
+    are occupied than capacity, a spatially-uniform pseudo-random subset
+    survives (voxels are ordered by a hash of their cell coordinate, so
+    overflow thins the cloud evenly instead of chopping off one side).
     """
     n = cloud.capacity
     n_out = capacity or n
@@ -47,9 +49,16 @@ def voxel_downsample(
     cx = jnp.where(invalid, _BIG, c[:, 0])
     cy = jnp.where(invalid, _BIG, c[:, 1])
     cz = jnp.where(invalid, _BIG, c[:, 2])
+    # spatial hash as the primary order (coords as tiebreakers keep distinct
+    # voxels separate under hash collisions); invalid points sort last
+    h = (c[:, 0] * jnp.int32(73856093)
+         ^ c[:, 1] * jnp.int32(19349663)
+         ^ c[:, 2] * jnp.int32(83492791))
+    h = jnp.where(invalid, jnp.int32(2**31 - 1), h)
     keys = [cz, cy, cx]
     if extra_key is not None:
         keys.append(jnp.where(invalid, _BIG, extra_key))
+    keys.append(h)
     # jnp.lexsort: last key is primary.
     order = jnp.lexsort(keys)
 

@@ -1,0 +1,117 @@
+import numpy as np
+import pytest
+
+from msst_tpu.models.liosam import LioSam
+from msst_tpu.models.liosam.params import tiny_params
+from msst_tpu.utils import sim
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    world = sim.World()
+    traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.0)
+    return sim.make_dataset(world, traj, n_scans=25, scan_dt=0.1,
+                            n_scan=16, horizon=360, seed=3)
+
+
+def run_pipeline(dataset, **param_overrides):
+    p = tiny_params(loop_closure_enabled=False, **param_overrides)
+    lio = LioSam(p)
+    outs = []
+    for s in dataset:
+        outs.append(lio.process_scan(
+            s["xyz"], s["ring"], s["time_rel"], s["scan_start"],
+            imu_t=s["imu_t"], imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
+            imu_rpy=s["imu_rpy"],
+        ))
+    return lio, outs
+
+
+def test_odometry_tracks_trajectory(dataset):
+    lio, outs = run_pipeline(dataset)
+    gt = np.stack([s["gt_pose"][:3, 3] for s in dataset])
+    est = lio.trajectory.as_matrices()[:, :3, 3]
+    assert len(est) == len(gt)
+    # the map frame starts at the origin with IMU-given attitude; shift into
+    # the world frame by the first ground-truth position
+    err = np.linalg.norm(est + gt[0] - gt, axis=1)
+    assert err.max() < 0.5, err
+    ate = lio.trajectory.ate_rmse(gt)
+    assert ate < 0.2, ate
+
+
+def test_features_and_keyframes(dataset):
+    lio, outs = run_pipeline(dataset)
+    # feature counts sane on every scan
+    for o in outs:
+        assert int(o.n_corner) > 10
+        assert int(o.n_surf) > 100
+    # ~2 m/s, 0.1 s scans, 1 m keyframe gate -> keyframe every ~5 scans
+    n_kf = int(lio.state.kf.count)
+    assert 4 <= n_kf <= 13, n_kf
+    assert not bool(outs[-1].degenerate)
+
+
+def test_imu_filter_velocity(dataset):
+    lio, outs = run_pipeline(dataset)
+    # speed should approach the commanded 2 m/s
+    v = np.asarray(outs[-1].velocity)
+    assert abs(np.linalg.norm(v) - 2.0) < 0.6, v
+
+
+def test_save_map(dataset):
+    lio, _ = run_pipeline(dataset)
+    m = lio.save_map()
+    assert m["trajectory"].shape[1] == 6
+    assert len(m["surf_map"]) > 1000
+    # map points must lie near world structures (room walls/pillars/floor)
+    pts = m["surf_map"]
+    assert np.isfinite(pts).all()
+
+
+def test_gps_factor_integration(dataset):
+    # GPS arrives already aligned to the odometry/map frame (the reference's
+    # navsat EKF does this alignment, module_navsat.launch:8-19)
+    p = tiny_params(loop_closure_enabled=False)
+    lio = LioSam(p)
+    gt0 = dataset[0]["gt_pose"][:3, 3]
+    for s in dataset[:15]:
+        lio.process_scan(
+            s["xyz"], s["ring"], s["time_rel"], s["scan_start"],
+            imu_t=s["imu_t"], imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
+            imu_rpy=s["imu_rpy"],
+            gps_xyz=(s["gt_pose"][:3, 3] - gt0).astype(np.float32),
+            gps_sigma=np.full(3, 0.5, np.float32),
+        )
+    gt = np.stack([s["gt_pose"][:3, 3] - gt0 for s in dataset[:15]])
+    est = lio.trajectory.as_matrices()[:, :3, 3]
+    assert np.linalg.norm(est - gt, axis=1).max() < 1.0
+    assert int(lio.state.n_gps) >= 2  # factors actually added at keyframes
+
+
+def test_loop_closure_detects_revisit():
+    world = sim.World()
+    traj = sim.SimTrajectory(kind="shuttle", speed=3.0, period=5.0)
+    data = sim.make_dataset(world, traj, n_scans=50, scan_dt=0.1,
+                            n_scan=16, horizon=360, seed=4)
+    p = tiny_params(loop_closure_enabled=True,
+                    history_keyframe_search_time_diff=3.0,
+                    history_keyframe_search_num=3,
+                    loop_closure_frequency=1.0)
+    lio = LioSam(p)
+    from msst_tpu.models.liosam.loop import loop_closure_step
+    for s in data:
+        lio.process_scan(
+            s["xyz"], s["ring"], s["time_rel"], s["scan_start"],
+            imu_t=s["imu_t"], imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
+            imu_rpy=s["imu_rpy"],
+        )
+    # by the end the robot is back near the start; force one loop attempt
+    lio.state, loop = loop_closure_step(lio.state, p)
+    assert bool(loop.found) or int(lio.state.n_loop) > 0
+    assert float(loop.fitness) < p.history_keyframe_fitness_score or int(lio.state.n_loop) > 0
+    # graph stays consistent after the full optimize
+    est = lio.trajectory.as_matrices()[:, :3, 3]
+    gt0 = data[0]["gt_pose"][:3, 3]
+    gt = np.stack([s["gt_pose"][:3, 3] - gt0 for s in data])
+    assert np.linalg.norm(est - gt, axis=1).max() < 1.0
