@@ -1,0 +1,177 @@
+"""Targetless multi-LiDAR -> LiDAR + LiDAR -> ground calibration.
+
+Rebuild of ``Calibration_Tookit/Multi_LiCa`` (MFI 2024, DOI
+10.1109/MFI62651.2024.10705773):
+
+* per-source pipeline (``Calibration.py:95-345``): crop -> voxel downsample
+  -> FPFH -> mutual-kNN correspondences -> GNC-TLS robust coarse init ->
+  GICP fine refinement with a fitness gate;
+* orchestration (``multi_lidar_calibrator.py:191-380``): standard per-source
+  calibration against the target LiDAR with retry against the combined cloud,
+  or greedy fitness-based pairwise ordering;
+* target-to-ground (``Lidar.calibrate_pitch`` ``Lidar.py:99-126`` +
+  ``process_data`` :382-478): RANSAC ground plane -> pitch/roll/z so the
+  ground maps to z = 0.
+
+The device path (one compiled program per pair) returns the transform and
+fitness; the orchestration is a small host loop like the reference's.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import knn, ransac, registration, se3
+from ...ops.pointcloud import Cloud
+from ...ops.voxel import voxel_downsample
+from . import coarse as coarse_mod
+from .features import fpfh, mutual_correspondences
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiLicaConfig:
+    """Mirrors ``Multi_LiCa/config/params.yaml`` defaults."""
+
+    voxel_size: float = 0.15
+    crop_lo: tuple = (-50.0, -50.0, -5.0)
+    crop_hi: tuple = (50.0, 50.0, 15.0)
+    fpfh_k: int = 16
+    max_corr: int = 1024
+    gnc_noise_bound: float = 0.3
+    gicp_max_iters: int = 50
+    gicp_max_corr_dist: float = 1.0
+    fitness_gate: float = 0.6          # reference's fitness threshold for retry
+    capacity: int = 16384
+    knn_table: int = 16384
+    ground_ransac_iters: int = 300
+    ground_threshold: float = 0.1
+
+
+class PairResult(NamedTuple):
+    pose: se3.Pose        # source -> target extrinsic
+    fitness: Array        # GICP matched fraction
+    rmse: Array
+    coarse_inliers: Array
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def calibrate_pair(src_xyz, src_mask, tgt_xyz, tgt_mask, cfg: MultiLicaConfig,
+                   init: Optional[se3.Pose] = None) -> PairResult:
+    """Full coarse+fine calibration of one source cloud to a target cloud."""
+    def prep(xyz, mask):
+        cl = Cloud.create(xyz, mask=mask)
+        from ...ops.pointcloud import crop_box
+        cl = crop_box(cl, jnp.asarray(cfg.crop_lo), jnp.asarray(cfg.crop_hi))
+        cl = voxel_downsample(cl, cfg.voxel_size, capacity=cfg.capacity)
+        grid = knn.build(cl.xyz, cl.mask, cell_size=4 * cfg.voxel_size,
+                         table_size=cfg.knn_table)
+        feat = fpfh(cl.xyz, cl.mask, grid, k=cfg.fpfh_k)
+        return cl, grid, feat
+
+    s_cl, s_grid, s_feat = prep(src_xyz, src_mask)
+    t_cl, t_grid, t_feat = prep(tgt_xyz, tgt_mask)
+
+    ia, ib, cval = mutual_correspondences(s_feat, s_cl.mask, t_feat, t_cl.mask,
+                                          cfg.max_corr)
+    co = coarse_mod.gnc_tls_registration(
+        s_cl.xyz[ia], t_cl.xyz[ib], cval, noise_bound=cfg.gnc_noise_bound)
+    init_pose = co.pose if init is None else init
+
+    s_cov = registration.point_covariances(s_cl.xyz, s_cl.mask, s_grid,
+                                           k=cfg.fpfh_k)
+    t_cov = registration.point_covariances(t_cl.xyz, t_cl.mask, t_grid,
+                                           k=cfg.fpfh_k)
+    fine = registration.gicp(
+        s_cl.xyz, s_cl.mask, s_cov, t_grid, t_cl.xyz, t_cov, init_pose,
+        max_iters=cfg.gicp_max_iters, max_corr_dist=cfg.gicp_max_corr_dist)
+    return PairResult(fine.pose, fine.matched_frac, fine.fitness, co.n_inliers)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def calibrate_to_ground(xyz, mask, cfg: MultiLicaConfig, key) -> se3.Pose:
+    """Pitch/roll/z so the dominant ground plane maps to z=0
+    (``Lidar.calibrate_pitch`` + GICP vs synthetic horizontal cloud —
+    here solved in closed form from the robust plane fit)."""
+    fit = ransac.fit_plane_robust(xyz, mask, key, cfg.ground_ransac_iters,
+                                  cfg.ground_threshold)
+    n = jnp.where(fit.normal[2] < 0, -fit.normal, fit.normal)
+    d = jnp.where(fit.normal[2] < 0, -fit.d, fit.d)
+    z = jnp.array([0.0, 0.0, 1.0])
+    axis = jnp.cross(n, z)
+    s = jnp.linalg.norm(axis)
+    cang = jnp.clip(jnp.dot(n, z), -1.0, 1.0)
+    angle = jnp.arctan2(s, cang)
+    axis = axis / jnp.maximum(s, 1e-9)
+    q = se3.so3_exp_quat(jnp.where(s < 1e-9, jnp.zeros(3), axis * angle))
+    # after rotation, plane becomes z + d = 0 -> shift up by d
+    return se3.Pose(q, jnp.array([0.0, 0.0, 1.0]) * d)
+
+
+class MultiLidarCalibrator:
+    """Host orchestration (``multi_lidar_calibrator.py:191-380``)."""
+
+    def __init__(self, cfg: MultiLicaConfig = MultiLicaConfig()):
+        self.cfg = cfg
+
+    def _pad(self, xyz):
+        cap = self.cfg.capacity
+        n = min(len(xyz), cap)
+        out = np.zeros((cap, 3), np.float32)
+        out[:n] = xyz[:n]
+        mask = np.arange(cap) < n
+        return jnp.asarray(out), jnp.asarray(mask)
+
+    def standard_calibration(self, target_xyz: np.ndarray,
+                             sources: Sequence[np.ndarray]):
+        """Each source -> target; on poor fitness, retry against the combined
+        cloud of everything calibrated so far (:220-277)."""
+        t_x, t_m = self._pad(target_xyz)
+        combined = [np.asarray(target_xyz, np.float32)]
+        results = []
+        for s in sources:
+            s_x, s_m = self._pad(s)
+            res = calibrate_pair(s_x, s_m, t_x, t_m, self.cfg)
+            if float(res.fitness) < self.cfg.fitness_gate:
+                c_x, c_m = self._pad(np.concatenate(combined))
+                res2 = calibrate_pair(s_x, s_m, c_x, c_m, self.cfg)
+                if float(res2.fitness) > float(res.fitness):
+                    res = res2
+            results.append(res)
+            moved = np.asarray(res.pose.apply(jnp.asarray(s.astype(np.float32))))
+            combined.append(moved)
+        return results
+
+    def fitness_based_calibration(self, clouds: Sequence[np.ndarray],
+                                  target_index: int = 0):
+        """Greedy best-fitness pairwise merge ordering (:285-380): repeatedly
+        calibrate the uncalibrated cloud with the best fitness against the
+        combined calibrated set."""
+        n = len(clouds)
+        done = {target_index}
+        poses: dict = {target_index: se3.Pose.identity()}
+        combined = np.asarray(clouds[target_index], np.float32)
+        fits: dict = {target_index: 1.0}
+        while len(done) < n:
+            best, best_res, best_fit = None, None, -1.0
+            c_x, c_m = self._pad(combined)
+            for i in range(n):
+                if i in done:
+                    continue
+                s_x, s_m = self._pad(clouds[i])
+                res = calibrate_pair(s_x, s_m, c_x, c_m, self.cfg)
+                f = float(res.fitness)
+                if f > best_fit:
+                    best, best_res, best_fit = i, res, f
+            done.add(best)
+            poses[best] = best_res.pose
+            fits[best] = best_fit
+            moved = np.asarray(best_res.pose.apply(
+                jnp.asarray(clouds[best].astype(np.float32))))
+            combined = np.concatenate([combined, moved])
+        return poses, fits

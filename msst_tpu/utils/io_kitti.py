@@ -1,0 +1,127 @@
+"""KITTI raw-dataset reader (the kitti2bag role, host-side).
+
+Rebuild of ``liosam_ws/src/LIO-SAM/config/doc/kitti2bag/kitti2bag.py``: reads
+KITTI raw drives (velodyne .bin scans + OXTS IMU/GPS text files + timestamps)
+and yields the per-scan dicts the LIO pipeline consumes — without going
+through rosbag.  Ring indices are reconstructed from the vertical angle (the
+HDL-64E has no ring field in the .bin files).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import glob
+import os
+
+import numpy as np
+
+# OXTS packet layout (kitti2bag.py save_imu_data_raw / save_gps_fix_data)
+OXTS_FIELDS = [
+    "lat", "lon", "alt", "roll", "pitch", "yaw",
+    "vn", "ve", "vf", "vl", "vu",
+    "ax", "ay", "az", "af", "al", "au",
+    "wx", "wy", "wz", "wf", "wl", "wu",
+    "pos_accuracy", "vel_accuracy", "navstat", "numsats",
+    "posmode", "velmode", "orimode",
+]
+
+
+def read_velodyne_bin(path: str) -> np.ndarray:
+    """(N, 4) x, y, z, intensity float32."""
+    return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+
+
+def rings_from_elevation(xyz: np.ndarray, n_rings: int = 64) -> np.ndarray:
+    """Assign ring ids by elevation-angle binning (HDL-64E: -24.8..2 deg)."""
+    el = np.degrees(np.arctan2(xyz[:, 2], np.linalg.norm(xyz[:, :2], axis=1)))
+    lo, hi = -24.9, 2.0
+    ring = ((el - lo) / (hi - lo) * (n_rings - 1)).round().astype(np.int32)
+    return np.clip(ring, 0, n_rings - 1)
+
+
+def _read_timestamps(path: str) -> np.ndarray:
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            # 2011-09-30 12:40:59.442522 (kitti format, ns precision trimmed)
+            d = _dt.datetime.fromisoformat(line[:26])
+            out.append(d.timestamp())
+    return np.asarray(out)
+
+
+def latlon_to_enu(lat, lon, alt, lat0, lon0, alt0):
+    """Small-area equirectangular ENU (adequate for drive-length scales)."""
+    re = 6378137.0
+    d_lat = np.radians(lat - lat0)
+    d_lon = np.radians(lon - lon0)
+    x = d_lon * re * np.cos(np.radians(lat0))
+    y = d_lat * re
+    z = alt - alt0
+    return np.stack([x, y, z], axis=-1)
+
+
+class KittiRawDrive:
+    """Reader for an extracted KITTI raw drive directory
+    (``<base>/<date>/<date>_drive_<id>_sync`` layout)."""
+
+    def __init__(self, drive_dir: str, n_rings: int = 64):
+        self.dir = drive_dir
+        self.n_rings = n_rings
+        self.velo_files = sorted(
+            glob.glob(os.path.join(drive_dir, "velodyne_points", "data", "*.bin")))
+        self.velo_times = _read_timestamps(
+            os.path.join(drive_dir, "velodyne_points", "timestamps.txt"))
+        oxts_files = sorted(
+            glob.glob(os.path.join(drive_dir, "oxts", "data", "*.txt")))
+        self.oxts_times = _read_timestamps(
+            os.path.join(drive_dir, "oxts", "timestamps.txt"))
+        self.oxts = np.stack([np.loadtxt(f) for f in oxts_files]) if oxts_files else None
+
+    def __len__(self):
+        return len(self.velo_files)
+
+    def imu_samples(self):
+        """(T,), (T, 3) gyro [rad/s], (T, 3) acc [m/s^2], (T, 3) rpy."""
+        o = self.oxts
+        idx = {k: i for i, k in enumerate(OXTS_FIELDS)}
+        gyro = o[:, [idx["wx"], idx["wy"], idx["wz"]]]
+        acc = o[:, [idx["ax"], idx["ay"], idx["az"]]]
+        rpy = o[:, [idx["roll"], idx["pitch"], idx["yaw"]]]
+        return self.oxts_times, gyro, acc, rpy
+
+    def gps_enu(self):
+        o = self.oxts
+        idx = {k: i for i, k in enumerate(OXTS_FIELDS)}
+        lat, lon, alt = o[:, idx["lat"]], o[:, idx["lon"]], o[:, idx["alt"]]
+        return latlon_to_enu(lat, lon, alt, lat[0], lon[0], alt[0])
+
+    def scan(self, i: int):
+        pts = read_velodyne_bin(self.velo_files[i])
+        xyz = pts[:, :3]
+        ring = rings_from_elevation(xyz, self.n_rings)
+        # per-point time from azimuth (KITTI scans are motion-compensated to
+        # the scan center; this reconstructs approximate per-point times)
+        az = np.arctan2(xyz[:, 1], xyz[:, 0])
+        time_rel = ((np.pi - az) / (2 * np.pi) * 0.1).astype(np.float32)
+        return dict(xyz=xyz.astype(np.float32), ring=ring,
+                    time_rel=time_rel, intensity=pts[:, 3],
+                    scan_start=float(self.velo_times[i]))
+
+    def iter_scans(self, with_imu=True, imu_window=0.5):
+        t_imu, gyro, acc, rpy = self.imu_samples() if with_imu else (None,) * 4
+        for i in range(len(self)):
+            s = self.scan(i)
+            if with_imu and t_imu is not None:
+                t0 = s["scan_start"]
+                sel = (t_imu >= t0 - imu_window) & (t_imu <= t0 + 0.15)
+                k0 = int(np.searchsorted(t_imu, t0))
+                s.update(
+                    imu_t=t_imu[sel].astype(np.float32),
+                    imu_gyro=gyro[sel].astype(np.float32),
+                    imu_acc=acc[sel].astype(np.float32),
+                    imu_rpy=rpy[min(k0, len(rpy) - 1)].astype(np.float32),
+                )
+            yield s
