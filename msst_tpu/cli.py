@@ -1,0 +1,241 @@
+"""Command-line entry points (the reference's launch-file surface).
+
+    msst lio-sim        [--scans N] [--loop] [--tpu]     synthetic demo replay
+    msst lio-kitti DIR  [--scans N]                      KITTI raw drive
+    msst lio-bag BAG --cloud-topic T --imu-topic T       rosbag replay
+    msst calibrate TARGET.pcd SRC.pcd [SRC2.pcd ...]     multi-LiDAR extrinsics
+        [--method lica|auto|ndt] [--output out.json]
+    msst manual-calib TARGET.pcd SRC.pcd                 interactive nudging
+    msst allan CSV      [--rate HZ]                      IMU Allan calibration
+    msst decode-pcap IN.pcap OUT.pcd                     packet decode
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _lio_run(scans_iter, params=None, loop=False, gps=False, progress=True):
+    from msst_tpu.models.liosam import LioSam
+    from msst_tpu.models.liosam.params import LioParams
+
+    lio = LioSam(params or LioParams(loop_closure_enabled=loop))
+    n = 0
+    for s in scans_iter:
+        kwargs = {k: s[k] for k in ("imu_t", "imu_gyro", "imu_acc", "imu_rpy")
+                  if k in s and s[k] is not None}
+        if gps and "gps_xyz" in s:
+            kwargs["gps_xyz"] = s["gps_xyz"]
+            kwargs["gps_sigma"] = s.get("gps_sigma", np.full(3, 2.0, np.float32))
+        out = lio.process_scan(s["xyz"], s["ring"], s["time_rel"],
+                               s["scan_start"], **kwargs)
+        n += 1
+        if progress and n % 10 == 0:
+            p = np.asarray(out.pose6)
+            print(f"scan {n}: pos=({p[3]:+.2f},{p[4]:+.2f},{p[5]:+.2f}) "
+                  f"kf={int(out.kf_count)}", file=sys.stderr)
+    return lio
+
+
+def cmd_lio_sim(args):
+    from msst_tpu.models.liosam import demo
+
+    sys.argv = ["demo", "--scans", str(args.scans), "--horizon", str(args.horizon)]
+    if args.loop:
+        sys.argv.append("--loop")
+    if args.tpu:
+        sys.argv.append("--tpu")
+    demo.main()
+
+
+def cmd_lio_kitti(args):
+    from msst_tpu.models.liosam.params import LioParams
+    from msst_tpu.utils.io_kitti import KittiRawDrive
+
+    drive = KittiRawDrive(args.dir, n_rings=args.rings)
+    it = drive.iter_scans()
+    if args.scans:
+        import itertools
+        it = itertools.islice(it, args.scans)
+    p = LioParams(n_scan=args.rings, horizon_scan=args.horizon,
+                  max_points=150000, loop_closure_enabled=args.loop)
+    lio = _lio_run(it, params=p, loop=args.loop)
+    traj = lio.trajectory.as_matrices()
+    np.savetxt(args.output, traj[:, :3, :].reshape(len(traj), 12), fmt="%.6f")
+    print(f"{len(traj)} poses -> {args.output} (KITTI format)")
+
+
+def cmd_lio_bag(args):
+    from msst_tpu.utils.io_rosbag import iter_lio_inputs
+
+    it = iter_lio_inputs(args.bag, args.cloud_topic, args.imu_topic)
+    if args.scans:
+        import itertools
+        it = itertools.islice(it, args.scans)
+    lio = _lio_run(it, loop=args.loop)
+    traj = lio.trajectory.as_matrices()
+    np.savetxt(args.output, traj[:, :3, :].reshape(len(traj), 12), fmt="%.6f")
+    print(f"{len(traj)} poses -> {args.output}")
+
+
+def cmd_calibrate(args):
+    import jax
+    import jax.numpy as jnp
+
+    from msst_tpu.utils.io_pcd import read_pcd
+
+    tgt = read_pcd(args.target)["xyz"]
+    srcs = [read_pcd(p)["xyz"] for p in args.sources]
+    results = {}
+    if args.method == "lica":
+        from msst_tpu.models.calibration.multi_lica import (MultiLicaConfig,
+                                                            MultiLidarCalibrator)
+        cal = MultiLidarCalibrator(MultiLicaConfig())
+        res = cal.standard_calibration(tgt, srcs)
+        for i, r in enumerate(res):
+            results[f"source_{i}"] = {
+                "matrix": np.asarray(r.pose.to_matrix()).tolist(),
+                "fitness": float(r.fitness), "rmse": float(r.rmse),
+            }
+    elif args.method == "auto":
+        from msst_tpu.models.calibration.auto_calib import (AutoCalibConfig,
+                                                            auto_calibrate)
+        cfg = AutoCalibConfig()
+        for i, s in enumerate(srcs):
+            def pad(a, cap=32768):
+                n = min(len(a), cap)
+                out = np.zeros((cap, 3), np.float32)
+                out[:n] = a[:n]
+                return jnp.asarray(out), jnp.asarray(np.arange(cap) < n)
+            m_x, m_m = pad(tgt)
+            s_x, s_m = pad(s)
+            r = auto_calibrate(m_x, m_m, s_x, s_m, cfg, jax.random.PRNGKey(i))
+            results[f"source_{i}"] = {
+                "matrix": np.asarray(r.pose.to_matrix()).tolist(),
+                "fitness": float(r.icp_rmse),
+            }
+    else:  # ndt
+        from msst_tpu.models.calibration.ndt_calib import NdtCalibrator
+        for i, s in enumerate(srcs):
+            cal = NdtCalibrator()
+            cal.process_pair(tgt, s)
+            results[f"source_{i}"] = {
+                "matrix": np.asarray(cal.pose.to_matrix()).tolist(),
+                "score": cal.history[-1],
+                "tf_command": cal.static_transform_command(),
+            }
+    with open(args.output, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"calibration -> {args.output}")
+
+
+def cmd_manual_calib(args):  # pragma: no cover - interactive
+    from msst_tpu.models.calibration.manual_calib import ManualCalibrator
+    from msst_tpu.utils.io_pcd import read_pcd
+
+    cal = ManualCalibrator(read_pcd(args.source)["xyz"],
+                           read_pcd(args.target)["xyz"])
+    cal.run_interactive()
+
+
+def cmd_allan(args):
+    from msst_tpu.models.calibration.imu_allan import AllanCalibrator
+
+    data = np.loadtxt(args.csv, delimiter=",")  # t, gx, gy, gz, ax, ay, az
+    cal = AllanCalibrator(name=args.name)
+    for row in data:
+        cal.add_sample(row[0], row[1:4], row[4:7])
+    res = cal.write_yaml(args.output)
+    print(json.dumps({k: res[k] for k in
+                      ("gyr_n", "gyr_w", "acc_n", "acc_w", "duration_min")},
+                     indent=2))
+    print(f"noise YAML -> {args.output}")
+
+
+def cmd_decode_pcap(args):
+    import ctypes
+
+    from msst_tpu.utils import packets
+    from msst_tpu.utils.io_pcd import write_pcd
+
+    lib = packets._load_native()
+    if not lib:
+        sys.exit("native library not built (make -C msst_tpu/native)")
+    cap = args.max_packets
+    out = np.empty((cap, 1206), np.uint8)
+    stamps = np.empty(cap, np.float64)
+    lib.pcap_read_packets.restype = ctypes.c_int
+    n = lib.pcap_read_packets(args.pcap.encode(),
+                              out.ctypes.data_as(ctypes.c_void_p),
+                              stamps.ctypes.data_as(ctypes.c_void_p), cap)
+    if n <= 0:
+        sys.exit(f"pcap read failed: {n}")
+    xyz, ring, trel, inten = packets.packets_to_scan(out[:n])
+    write_pcd(args.output, xyz, inten)
+    print(f"{n} packets, {len(xyz)} points -> {args.output}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="msst", description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("lio-sim")
+    s.add_argument("--scans", type=int, default=40)
+    s.add_argument("--horizon", type=int, default=720)
+    s.add_argument("--loop", action="store_true")
+    s.add_argument("--tpu", action="store_true")
+    s.set_defaults(fn=cmd_lio_sim)
+
+    s = sub.add_parser("lio-kitti")
+    s.add_argument("dir")
+    s.add_argument("--rings", type=int, default=64)
+    s.add_argument("--horizon", type=int, default=1800)
+    s.add_argument("--scans", type=int, default=0)
+    s.add_argument("--loop", action="store_true")
+    s.add_argument("--output", default="trajectory_kitti.txt")
+    s.set_defaults(fn=cmd_lio_kitti)
+
+    s = sub.add_parser("lio-bag")
+    s.add_argument("bag")
+    s.add_argument("--cloud-topic", required=True)
+    s.add_argument("--imu-topic", required=True)
+    s.add_argument("--scans", type=int, default=0)
+    s.add_argument("--loop", action="store_true")
+    s.add_argument("--output", default="trajectory.txt")
+    s.set_defaults(fn=cmd_lio_bag)
+
+    s = sub.add_parser("calibrate")
+    s.add_argument("target")
+    s.add_argument("sources", nargs="+")
+    s.add_argument("--method", choices=["lica", "auto", "ndt"], default="lica")
+    s.add_argument("--output", default="calibration.json")
+    s.set_defaults(fn=cmd_calibrate)
+
+    s = sub.add_parser("manual-calib")
+    s.add_argument("target")
+    s.add_argument("source")
+    s.set_defaults(fn=cmd_manual_calib)
+
+    s = sub.add_parser("allan")
+    s.add_argument("csv")
+    s.add_argument("--name", default="imu")
+    s.add_argument("--output", default="imu_noise.yaml")
+    s.set_defaults(fn=cmd_allan)
+
+    s = sub.add_parser("decode-pcap")
+    s.add_argument("pcap")
+    s.add_argument("output")
+    s.add_argument("--max-packets", type=int, default=100000)
+    s.set_defaults(fn=cmd_decode_pcap)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

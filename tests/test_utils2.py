@@ -1,0 +1,141 @@
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from msst_tpu.utils import calibration_io, checkpoint, laserscan, navsat, profiling
+
+RNG = np.random.default_rng(14)
+
+
+def test_checkpoint_roundtrip_lio_state(tmp_path):
+    from msst_tpu.models.liosam.params import tiny_params
+    from msst_tpu.models.liosam.state import init_state
+
+    p = tiny_params()
+    s = init_state(p)
+    # mutate a few fields
+    s = s._replace(pose6=jnp.asarray([0.1, 0.2, 0.3, 1, 2, 3], jnp.float32),
+                   initialized=jnp.asarray(True))
+    path = os.path.join(tmp_path, "state.npz")
+    checkpoint.save_state(path, s)
+    s2 = checkpoint.load_state(path, init_state(p))
+    np.testing.assert_allclose(np.asarray(s2.pose6), [0.1, 0.2, 0.3, 1, 2, 3], atol=1e-6)
+    assert bool(s2.initialized)
+    # wrong-caps template must fail loudly
+    import pytest
+    with pytest.raises(ValueError):
+        checkpoint.load_state(path, init_state(tiny_params(max_keyframes=32)))
+
+
+def test_laserscan_extraction():
+    n = 1000
+    az = RNG.uniform(-np.pi, np.pi, n)
+    r = RNG.uniform(1, 20, n)
+    xyz = np.stack([r * np.cos(az), r * np.sin(az), np.zeros(n)], 1)
+    ring = np.full(n, 8, np.int32)
+    scan = laserscan.extract_laserscan(xyz.astype(np.float32), ring, n_rings=16)
+    assert scan["ring"] == 8
+    finite = np.isfinite(scan["ranges"])
+    assert finite.sum() > 500
+    # check a specific bin
+    i = np.argmax(finite)
+    ang = -np.pi + (i + 0.5) * scan["angle_increment"]
+    sel = np.abs(((az - ang + np.pi) % (2 * np.pi)) - np.pi) < scan["angle_increment"]
+    assert abs(scan["ranges"][i] - r[sel].min()) < 0.5
+
+
+def test_calibration_yaml_roundtrip(tmp_path):
+    calib = {
+        "num_lasers": 4,
+        "distance_resolution": 0.004,
+        "lasers": [
+            {"laser_id": float(i), "rot_correction": 0.01 * i,
+             "vert_correction": np.radians(-15 + 2 * i)}
+            for i in range(4)
+        ],
+    }
+    path = os.path.join(tmp_path, "cal.yaml")
+    calibration_io.write_calibration_yaml(path, calib)
+    back = calibration_io.load_calibration_yaml(path)
+    assert back["num_lasers"] == 4
+    assert abs(back["distance_resolution"] - 0.004) < 1e-9
+    assert len(back["lasers"]) == 4
+    np.testing.assert_allclose(back["lasers"][2]["vert_correction"],
+                               np.radians(-11), atol=1e-6)
+    cfg = calibration_io.decoder_config_from_calibration(back)
+    assert abs(cfg.vert_angles_deg[2] - (-11.0)) < 1e-4
+    assert cfg.distance_resolution == 0.004
+
+
+def test_velodyne_xml_conversion(tmp_path):
+    xml = """<boost_serialization><DB><points_>
+    <item><px><id_>1</id_><rotCorrection_>0.5</rotCorrection_>
+      <vertCorrection_>-15.0</vertCorrection_><distCorrection_>120</distCorrection_></px></item>
+    <item><px><id_>0</id_><rotCorrection_>-0.5</rotCorrection_>
+      <vertCorrection_>1.0</vertCorrection_><distCorrection_>130</distCorrection_></px></item>
+    </points_></DB></boost_serialization>"""
+    p = os.path.join(tmp_path, "db.xml")
+    open(p, "w").write(xml)
+    calib = calibration_io.convert_velodyne_xml(p)
+    assert calib["num_lasers"] == 2
+    assert calib["lasers"][0]["laser_id"] == 0
+    np.testing.assert_allclose(calib["lasers"][1]["vert_correction"],
+                               np.radians(-15), atol=1e-9)
+    np.testing.assert_allclose(calib["lasers"][0]["dist_correction"], 1.3, atol=1e-9)
+
+
+def test_navsat_alignment():
+    al = navsat.NavsatAligner(min_pairs=5)
+    # odometry frame rotated 30 deg + offset from ENU
+    yaw = np.radians(30)
+    R = np.array([[np.cos(yaw), -np.sin(yaw)], [np.sin(yaw), np.cos(yaw)]])
+    t = np.array([5.0, -3.0])
+    lat0, lon0 = 48.0, 11.0
+    for k in range(20):
+        # walk east
+        dlat = 0.0
+        dlon = k * 1e-5
+        enu = navsat.latlon_to_enu(np.asarray([lat0 + dlat]), np.asarray([lon0 + dlon]),
+                                   np.asarray([500.0]), lat0, lon0, 500.0)[0]
+        odom = np.concatenate([R @ enu[:2] + t, [0.0]])
+        al.add_fix(lat0 + dlat, lon0 + dlon, 500.0, odom)
+    assert al.is_aligned
+    got = al.gps_to_map(lat0, lon0 + 10e-5, 500.0)
+    enu = navsat.latlon_to_enu(np.asarray([lat0]), np.asarray([lon0 + 10e-5]),
+                               np.asarray([500.0]), lat0, lon0, 500.0)[0]
+    expect = np.concatenate([R @ enu[:2] + t, [0.0]])
+    np.testing.assert_allclose(got, expect, atol=0.05)
+
+
+def test_manual_calibrator_scoring_and_keys():
+    from msst_tpu.models.calibration.manual_calib import ManualCalibrator
+
+    tgt = RNG.uniform(-5, 5, size=(2000, 3)).astype(np.float32)
+    src = tgt + np.array([0.3, 0, 0], np.float32)  # offset in +x
+    cal = ManualCalibrator(src, tgt, trans_step=0.3)
+    d0, f0 = cal.score()
+    assert cal.nudge("f")  # -x
+    d1, f1 = cal.score()
+    assert d1 < d0  # alignment improved
+    js = cal.extrinsic_json()
+    assert "rotation" in js and "translation" in js
+    assert not cal.nudge("x")  # exit
+
+
+def test_rate_tracker_and_stage_timer():
+    msgs = []
+    rt = profiling.RateTracker("test", report_every_s=0.0, printer=msgs.append)
+    for _ in range(5):
+        rt.tick(latency_s=0.01)
+    assert rt.rate_hz > 0
+    assert abs(rt.mean_latency_ms - 10.0) < 1.0
+    assert msgs
+
+    st = profiling.StageTimer()
+    with st.stage("a"):
+        pass
+    with st.stage("a"):
+        pass
+    s = st.summary()
+    assert s["a"]["count"] == 2
