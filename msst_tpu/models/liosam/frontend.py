@@ -86,8 +86,11 @@ def run_frontend(scan: ScanInput, p) -> FrontendOutput:
                      p.lidar_min_range, p.lidar_max_range, p.downsample_rate)
     ext = ri.extract_rings(img)
 
-    # --- LOAM features
-    masks = F.extract_features(ext, p.edge_threshold, p.surf_threshold)
+    # --- LOAM features (NMS variant by default; see features.py docstring)
+    if getattr(p, "feature_method", "nms") == "exact":
+        masks = F.extract_features(ext, p.edge_threshold, p.surf_threshold)
+    else:
+        masks = F.extract_features_nms(ext, p.edge_threshold, p.surf_threshold)
 
     flat_xyz = ext.xyz.reshape(-1, 3)
     corner_mask = masks.corner.reshape(-1)

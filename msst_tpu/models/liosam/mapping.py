@@ -62,6 +62,7 @@ class StepOutput(NamedTuple):
     n_corner: Array
     n_surf: Array
     kf_count: Array
+    s2m_iterations: Array
 
 
 # ---------------------------------------------------------------------------
@@ -101,16 +102,33 @@ def _assemble_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
 
 def _rebuild_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
                        p: LioParams):
+    from ...ops import voxelmap
     from .state import LocalMap
 
     corner_map, surf_map = _assemble_local_map(kf, position, scan_time, p)
+    use_vox = p.scan2map_method == "voxel"
+
+    def grid(cloud, cap):
+        if use_vox:
+            return knn.build(jnp.zeros((8, 3), jnp.float32),
+                             jnp.zeros((8,), bool), 1.0, 16)
+        return knn.build(cloud.xyz, cloud.mask, 1.0, p.knn_table_size)
+
+    def vox(cloud, cap, leaf, kind):
+        if not use_vox:
+            return voxelmap.build(jnp.zeros((8, 3), jnp.float32),
+                                  jnp.zeros((8,), bool), leaf, 8, kind,
+                                  table_size=16)
+        return voxelmap.build(cloud.xyz, cloud.mask, leaf, cap, kind,
+                              table_size=2 * cap)
+
     return LocalMap(
         corner_xyz=corner_map.xyz, corner_mask=corner_map.mask,
         surf_xyz=surf_map.xyz, surf_mask=surf_map.mask,
-        corner_grid=knn.build(corner_map.xyz, corner_map.mask, 1.0,
-                              p.knn_table_size),
-        surf_grid=knn.build(surf_map.xyz, surf_map.mask, 1.0,
-                            p.knn_table_size),
+        corner_grid=grid(corner_map, p.map_corner_cap),
+        surf_grid=grid(surf_map, p.map_surf_cap),
+        corner_vox=vox(corner_map, p.vox_corner_cap, p.vox_corner_leaf, "line"),
+        surf_vox=vox(surf_map, p.vox_surf_cap, p.vox_surf_leaf, "plane"),
         valid=jnp.asarray(True),
     )
 
@@ -253,16 +271,24 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
         front.n_surf > p.surf_feature_min_valid_num)
 
     def register():
-        res = registration.scan_to_map(
-            corner_ds.xyz, corner_ds.mask, surf_ds.xyz, surf_ds.mask,
-            lm.corner_grid, lm.corner_xyz, lm.surf_grid, lm.surf_xyz,
-            init6, max_iters=p.scan2map_max_iters,
-            candidates_per_cell=p.knn_candidates,
-        )
-        return res.pose, res.degenerate
+        if p.scan2map_method == "voxel":
+            res = registration.scan_to_map_voxel(
+                corner_ds.xyz, corner_ds.mask, surf_ds.xyz, surf_ds.mask,
+                lm.corner_vox, lm.surf_vox,
+                init6, max_iters=p.scan2map_max_iters,
+            )
+        else:
+            res = registration.scan_to_map(
+                corner_ds.xyz, corner_ds.mask, surf_ds.xyz, surf_ds.mask,
+                lm.corner_grid, lm.corner_xyz, lm.surf_grid, lm.surf_xyz,
+                init6, max_iters=p.scan2map_max_iters,
+                candidates_per_cell=p.knn_candidates,
+            )
+        return res.pose, res.degenerate, res.iterations
 
-    pose6, degenerate = jax.lax.cond(
-        have_map & enough, register, lambda: (init6, jnp.asarray(False))
+    pose6, degenerate, s2m_iters = jax.lax.cond(
+        have_map & enough, register,
+        lambda: (init6, jnp.asarray(False), jnp.asarray(0, jnp.int32))
     )
 
     # --- transformUpdate: slerp-fuse roll/pitch with IMU attitude (:1312-1342)
@@ -320,5 +346,6 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
         degenerate=degenerate, is_keyframe=is_kf,
         n_corner=front.n_corner, n_surf=front.n_surf,
         kf_count=new_state.kf.count,
+        s2m_iterations=s2m_iters,
     )
     return new_state, out

@@ -34,6 +34,7 @@ class LioParams:
 
     # --- LOAM thresholds (params.yaml:60-64)
     edge_threshold: float = 1.0
+    feature_method: str = "nms"   # "nms" (fast, default) | "exact" (reference-faithful)
     surf_threshold: float = 0.1
     edge_feature_min_valid_num: int = 10
     surf_feature_min_valid_num: int = 100
@@ -54,6 +55,11 @@ class LioParams:
     surrounding_keyframe_density: float = 2.0
     surrounding_keyframe_search_radius: float = 50.0
     scan2map_max_iters: int = 30
+    scan2map_method: str = "voxel"   # "voxel" (VoxelMap-style, fast) | "knn" (reference-style 5-NN)
+    vox_corner_leaf: float = 1.0
+    vox_surf_leaf: float = 1.0
+    vox_corner_cap: int = 8192
+    vox_surf_cap: int = 16384
 
     # --- loop closure (params.yaml:88-96)
     loop_closure_enabled: bool = True

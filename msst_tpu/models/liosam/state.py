@@ -51,8 +51,10 @@ class LocalMap(NamedTuple):
     corner_mask: Array
     surf_xyz: Array     # (map_surf_cap, 3)
     surf_mask: Array
-    corner_grid: "object"  # knn.HashGrid pytree
+    corner_grid: "object"  # knn.HashGrid pytree (knn method; tiny when unused)
     surf_grid: "object"
+    corner_vox: "object"   # voxelmap.VoxelFeatureMap (voxel method; tiny when unused)
+    surf_vox: "object"
     valid: Array        # () bool
 
 
@@ -71,11 +73,22 @@ class LioState(NamedTuple):
 
 
 def _empty_local_map(p: LioParams) -> LocalMap:
-    from ...ops import knn
+    from ...ops import knn, voxelmap
+
+    use_vox = p.scan2map_method == "voxel"
 
     def grid(cap):
-        return knn.build(jnp.zeros((cap, 3), jnp.float32),
-                         jnp.zeros((cap,), bool), 1.0, p.knn_table_size)
+        # tiny placeholder grids when the voxel path is active
+        c = cap if not use_vox else 8
+        return knn.build(jnp.zeros((c, 3), jnp.float32),
+                         jnp.zeros((c,), bool), 1.0,
+                         p.knn_table_size if not use_vox else 16)
+
+    def vox(cap, leaf, kind):
+        c = cap if use_vox else 8
+        return voxelmap.build(jnp.zeros((c, 3), jnp.float32),
+                              jnp.zeros((c,), bool), leaf, c, kind,
+                              table_size=2 * c)
 
     return LocalMap(
         corner_xyz=jnp.zeros((p.map_corner_cap, 3), jnp.float32),
@@ -84,6 +97,8 @@ def _empty_local_map(p: LioParams) -> LocalMap:
         surf_mask=jnp.zeros((p.map_surf_cap,), bool),
         corner_grid=grid(p.map_corner_cap),
         surf_grid=grid(p.map_surf_cap),
+        corner_vox=vox(p.vox_corner_cap, p.vox_corner_leaf, "line"),
+        surf_vox=vox(p.vox_surf_cap, p.vox_surf_leaf, "plane"),
         valid=jnp.asarray(False),
     )
 

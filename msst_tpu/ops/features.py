@@ -139,6 +139,50 @@ def _suppress_neighbors(picked: Array, col: Array, ind: Array) -> Array:
     return picked
 
 
+def extract_features_nms(
+    scan: ExtractedScan,
+    edge_threshold: float = 1.0,
+    surf_threshold: float = 0.1,
+) -> FeatureMasks:
+    """Vectorized corner selection: non-max suppression over a +-5 window +
+    per-sector top-20 cap.
+
+    The reference's greedy pick-highest-then-suppress loop is inherently
+    sequential; NMS keeps exactly the candidates that would survive as window
+    maxima, which matches the greedy picks except in dense peak chains (and
+    ignores the column-gap gating of the suppression window).  ~20 vector ops
+    instead of ~1400 sequential ones — the default in the compiled pipeline;
+    :func:`extract_features` remains the reference-faithful variant.
+    """
+    curv, curv_valid = curvature(scan)
+    occluded = mark_occluded(scan)
+    n_scan, h = scan.rng.shape
+    pos = jnp.arange(h)[None, :]
+
+    cand = curv_valid & ~occluded & (curv > edge_threshold)
+    # windowed neighbor max (excluding self) over +-5 packed positions
+    wmax = jnp.full_like(curv, -jnp.inf)
+    for s in range(1, 6):
+        wmax = jnp.maximum(wmax, jnp.roll(curv, s, axis=1))
+        wmax = jnp.maximum(wmax, jnp.roll(curv, -s, axis=1))
+    ismax = cand & (curv >= wmax)
+
+    # per-(ring, sector) top-20 cap in one batched top_k
+    sp, ep = jax.vmap(_sector_bounds)(scan.count)        # (R, 6) each
+    sec_masks = (pos[None] >= sp[:, :, None]) & (pos[None] <= ep[:, :, None])  # (R, 6, H)
+    masked = jnp.where(sec_masks & ismax[:, None, :], curv[:, None, :], -jnp.inf)
+    flat = masked.reshape(n_scan * N_SECTORS, h)
+    kth = jax.lax.top_k(flat, MAX_CORNERS_PER_SECTOR)[0][:, -1]   # (R*6,)
+    kth = kth.reshape(n_scan, N_SECTORS)
+    # when a sector holds < 20 candidates the k-th value is -inf: keep all
+    keep = masked >= jnp.where(jnp.isfinite(kth), kth, -jnp.inf)[:, :, None]
+    corner = jnp.any(keep & jnp.isfinite(masked), axis=1)
+
+    in_sector = jnp.any(sec_masks, axis=1)
+    surface = in_sector & ~corner & (pos < scan.count[:, None])
+    return FeatureMasks(corner, surface)
+
+
 def extract_features(
     scan: ExtractedScan,
     edge_threshold: float = 1.0,

@@ -219,6 +219,99 @@ def scan_to_map(
 
 
 # ---------------------------------------------------------------------------
+# Scan-to-map against voxel feature maps (VoxelMap-style; see ops/voxelmap.py)
+# ---------------------------------------------------------------------------
+
+
+def scan_to_map_voxel(
+    corner_scan: Array, corner_mask: Array,
+    surf_scan: Array, surf_mask: Array,
+    corner_vmap, surf_vmap,
+    init_pose: Array,
+    max_iters: int = 30,
+    eig_threshold: float = 100.0,
+    min_points: int = 50,
+) -> ScanToMapResult:
+    """Same contract as :func:`scan_to_map`, but correspondences come from
+    precomputed per-voxel line/plane features (one structured lookup per
+    iteration instead of 5-NN gathers) — the TPU-native hot path.  Residual
+    definitions, s-weighting, degeneracy projection and convergence gates
+    match the kNN variant."""
+    from . import voxelmap
+
+    def step(pose, P, degenerate, it):
+        R, dRr, dRp, dRy = _rot_and_derivs(pose[:3])
+        t = pose[3:]
+        cw = corner_scan @ R.T + t
+        sw = surf_scan @ R.T + t
+
+        chit = voxelmap.lookup(corner_vmap, cw, corner_mask)
+        cgrad, cr, cok = voxelmap.line_residuals(corner_vmap, cw, chit)
+        cs = 1.0 - 0.9 * jnp.abs(cr)
+        cm = corner_mask & cok & (cs > 0.1)
+        cn = cgrad * cs[:, None]
+        cd = cs * cr
+
+        shit = voxelmap.lookup(surf_vmap, sw, surf_mask)
+        snrm, sr, sok = voxelmap.plane_residuals(surf_vmap, sw, shit)
+        rng = jnp.linalg.norm(surf_scan, axis=1)
+        ss = 1.0 - 0.9 * jnp.abs(sr) / jnp.sqrt(jnp.sqrt(jnp.maximum(rng, 1e-6)))
+        sm = surf_mask & sok & (ss > 0.1)
+        sn = snrm * ss[:, None]
+        sd = ss * sr
+
+        def jac(n, pts, m):
+            jr = jnp.stack([
+                jnp.sum(n * (pts @ dRr.T), axis=1),
+                jnp.sum(n * (pts @ dRp.T), axis=1),
+                jnp.sum(n * (pts @ dRy.T), axis=1),
+            ], axis=1)
+            J = jnp.concatenate([jr, n], axis=1)
+            return J * m[:, None].astype(J.dtype)
+
+        Jc = jac(cn, corner_scan, cm)
+        Js = jac(sn, surf_scan, sm)
+        rc = cd * cm
+        rs = sd * sm
+        H = Jc.T @ Jc + Js.T @ Js
+        g = Jc.T @ rc + Js.T @ rs
+        n_sel = jnp.sum(cm) + jnp.sum(sm)
+        dx = -linalg.solve_psd(H, g, damping=1e-6)
+
+        def first_iter_P():
+            vals, vecs = jnp.linalg.eigh(H)
+            good = (vals >= eig_threshold).astype(H.dtype)
+            return (vecs * good[None, :]) @ vecs.T, jnp.any(vals < eig_threshold)
+
+        P, degenerate = jax.lax.cond(it == 0, first_iter_P,
+                                     lambda: (P, degenerate))
+        dx = P @ dx
+        enough = n_sel >= min_points
+        dx = jnp.where(enough, dx, 0.0)
+        delta_r = jnp.sqrt(jnp.sum(jnp.degrees(dx[:3]) ** 2))
+        delta_t = jnp.sqrt(jnp.sum((dx[3:] * 100.0) ** 2))
+        converged = (delta_r < 0.05) & (delta_t < 0.05)
+        return (pose + dx, P, degenerate, converged | ~enough,
+                jnp.sum(cm), jnp.sum(sm))
+
+    def cond(state):
+        _, _, _, done, it, _, _ = state
+        return (~done) & (it < max_iters)
+
+    def body(state):
+        pose, P, degenerate, done, it, nc, ns = state
+        pose, P, degenerate, conv, nc, ns = step(pose, P, degenerate, it)
+        return pose, P, degenerate, conv, it + 1, nc, ns
+
+    P0 = jnp.eye(6, dtype=init_pose.dtype)
+    state = (init_pose, P0, jnp.asarray(False), jnp.asarray(False),
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32))
+    pose, P, degenerate, done, it, nc, ns = jax.lax.while_loop(cond, body, state)
+    return ScanToMapResult(pose, degenerate, done, it, nc, ns)
+
+
+# ---------------------------------------------------------------------------
 # Point-to-point ICP (loop closure / manual calibration)
 # ---------------------------------------------------------------------------
 

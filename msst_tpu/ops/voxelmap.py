@@ -1,0 +1,202 @@
+"""Voxel feature maps: precomputed per-voxel line/plane Gaussians.
+
+TPU-first replacement for the per-iteration 5-NN correspondence search of
+the reference's scan-to-map optimizer (``mapOptmization.cpp:974-1135``): the
+local map is summarized ONCE per rebuild into per-voxel statistics (mean,
+principal directions, plane offset, quality gates), and each Gauss-Newton
+iteration only *looks up* the voxel containing each transformed feature point
+(plus its 7 octant neighbors) — a few MB of structured gathers instead of
+tens of MB of random 5-NN gathers per iteration.  This is the VoxelMap /
+Surfel-LIO design pattern, mapped onto fixed-shape hash tables.
+
+Semantics parity with the reference's checks:
+
+* surf voxels mimic ``surfOptimization``'s plane fit + validity
+  (|n.x + d| <= 0.2 over members -> here sqrt(lambda_min) gate),
+* corner voxels mimic ``cornerOptimization``'s line fit
+  (lambda_max > 3 * lambda_mid) with point-to-line residuals,
+* the same s = 1 - 0.9|r| weightings and pick gates apply downstream.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import linalg
+
+Array = jax.Array
+
+_P1, _P2, _P3 = 73856093, 19349663, 83492791
+_BIG = jnp.int32(2**30)
+
+
+class VoxelFeatureMap(NamedTuple):
+    """Fixed-capacity voxel-Gaussian table + hash buckets for O(1) lookup."""
+
+    coords: Array        # (V, 3) int32 voxel coords (garbage where ~mask)
+    mean: Array          # (V, 3)
+    direction: Array     # (V, 3) plane normal (planes) or line direction
+    d: Array             # (V,) plane offset (planes; 0 for lines)
+    count: Array         # (V,) member points
+    valid: Array         # (V,) bool — passes the geometric quality gates
+    mask: Array          # (V,) bool — slot occupied
+    bucket_start: Array  # (H,)
+    bucket_count: Array  # (H,)
+    leaf: Array          # () float32
+
+    @property
+    def capacity(self) -> int:
+        return self.mean.shape[0]
+
+    @property
+    def table_size(self) -> int:
+        return self.bucket_start.shape[0]
+
+
+def _hash3(c: Array, table_size: int) -> Array:
+    h = (c[..., 0] * jnp.int32(_P1) ^ c[..., 1] * jnp.int32(_P2)
+         ^ c[..., 2] * jnp.int32(_P3))
+    return jnp.abs(h) % jnp.int32(table_size)
+
+
+def build(xyz: Array, mask: Array, leaf: float, capacity: int,
+          kind: str, table_size: int = 8192, min_points: int = 4,
+          line_ratio: float = 3.0, plane_thickness: float = 0.1
+          ) -> VoxelFeatureMap:
+    """Voxelize + fit per-voxel features.
+
+    kind: "plane" (surf map) or "line" (corner map).
+    plane_thickness: max sqrt(lambda_min) for a valid plane — the analogue of
+    the reference's 0.2 m plane-fit validity check.
+    """
+    leaf_f = jnp.asarray(leaf, jnp.float32)
+    c = jnp.floor(xyz / leaf_f).astype(jnp.int32)
+    cx = jnp.where(mask, c[:, 0], _BIG)
+    cy = jnp.where(mask, c[:, 1], _BIG)
+    cz = jnp.where(mask, c[:, 2], _BIG)
+    order = jnp.lexsort([cz, cy, cx])
+    cs = jnp.stack([cx[order], cy[order], cz[order]], axis=1)
+    valid_s = mask[order]
+    xyz_s = xyz[order]
+
+    new_voxel = jnp.any(cs != jnp.roll(cs, 1, axis=0), axis=1)
+    new_voxel = new_voxel.at[0].set(True) & valid_s
+    seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1
+    seg = jnp.where(valid_s, seg, capacity)
+
+    w = valid_s.astype(xyz.dtype)
+    cnt = jax.ops.segment_sum(w, seg, num_segments=capacity + 1)[:capacity]
+    sums = jax.ops.segment_sum(xyz_s * w[:, None], seg,
+                               num_segments=capacity + 1)[:capacity]
+    outer = jnp.einsum("ni,nj->nij", xyz_s, xyz_s) * w[:, None, None]
+    sq = jax.ops.segment_sum(outer, seg, num_segments=capacity + 1)[:capacity]
+    coords_v = jax.ops.segment_max(
+        jnp.where(valid_s[:, None], cs, -_BIG), seg,
+        num_segments=capacity + 1)[:capacity]
+
+    denom = jnp.maximum(cnt, 1.0)
+    mu = sums / denom[:, None]
+    cov = sq / denom[:, None, None] - jnp.einsum("ni,nj->nij", mu, mu)
+    vals, vecs = linalg.sym3x3_eigh(cov)   # ascending; rows are eigenvectors
+
+    n_vox = jnp.sum(new_voxel.astype(jnp.int32))
+    occupied = jnp.arange(capacity) < jnp.minimum(n_vox, capacity)
+
+    if kind == "plane":
+        direction = vecs[:, 0, :]          # smallest eigvec = normal
+        d = -jnp.sum(direction * mu, axis=1)
+        quality_ok = jnp.sqrt(jnp.maximum(vals[:, 0], 0.0)) <= plane_thickness
+    else:
+        direction = vecs[:, 2, :]          # largest eigvec = line direction
+        d = jnp.zeros(capacity, xyz.dtype)
+        quality_ok = vals[:, 2] > line_ratio * jnp.maximum(vals[:, 1], 1e-12)
+
+    valid = occupied & (cnt >= min_points) & quality_ok
+
+    # bucket table over voxel coords
+    h = jnp.where(occupied, _hash3(coords_v, table_size), table_size)
+    horder = jnp.argsort(h)
+    h_sorted = h[horder]
+    starts = jnp.searchsorted(h_sorted, jnp.arange(table_size, dtype=h_sorted.dtype))
+    ends = jnp.searchsorted(h_sorted, jnp.arange(1, table_size + 1, dtype=h_sorted.dtype))
+
+    def perm(a):
+        return a[horder]
+
+    return VoxelFeatureMap(
+        coords=perm(coords_v), mean=perm(mu), direction=perm(direction),
+        d=perm(d), count=perm(cnt), valid=perm(valid), mask=perm(occupied),
+        bucket_start=starts.astype(jnp.int32),
+        bucket_count=(ends - starts).astype(jnp.int32),
+        leaf=leaf_f,
+    )
+
+
+class VoxelLookup(NamedTuple):
+    idx: Array    # (Q,) best matching voxel slot (clipped)
+    found: Array  # (Q,) bool
+
+
+def lookup(vmap: VoxelFeatureMap, q_xyz: Array, q_mask: Array,
+           candidates_per_bucket: int = 4) -> VoxelLookup:
+    """Find the best feature voxel for each query point: probe the containing
+    voxel + the 7 octant neighbors toward the in-cell offset, resolve hash
+    buckets by exact coordinate match, choose the valid voxel with the
+    nearest mean."""
+    C = candidates_per_bucket
+    g = q_xyz / vmap.leaf
+    base = jnp.floor(g).astype(jnp.int32)               # (Q, 3)
+    frac = g - base
+    step = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)  # octant direction
+
+    # 8 octant offsets: choose subsets of axes to step
+    combos = jnp.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+                        [1, 1, 0], [1, 0, 1], [0, 1, 1], [1, 1, 1]], jnp.int32)
+    cells = base[:, None, :] + combos[None, :, :] * step[:, None, :]  # (Q, 8, 3)
+
+    hb = _hash3(cells, vmap.table_size)                 # (Q, 8)
+    start = vmap.bucket_start[hb]
+    count = vmap.bucket_count[hb]
+    lane = jnp.arange(C, dtype=jnp.int32)
+    cand = start[..., None] + lane                      # (Q, 8, C)
+    ok = lane < count[..., None]
+    cand = jnp.where(ok, cand, vmap.capacity - 1)
+    ccoords = vmap.coords[cand]                         # (Q, 8, C, 3)
+    match = ok & jnp.all(ccoords == cells[:, :, None, :], axis=-1)
+    match &= vmap.valid[cand]
+
+    Qn = q_xyz.shape[0]
+    cand_f = cand.reshape(Qn, -1)
+    match_f = match.reshape(Qn, -1)
+    means = vmap.mean[cand_f]                           # (Q, 8C, 3)
+    d2 = jnp.sum((means - q_xyz[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(match_f & q_mask[:, None], d2, jnp.inf)
+    best = jnp.argmin(d2, axis=1)
+    found = jnp.isfinite(d2[jnp.arange(Qn), best])
+    return VoxelLookup(cand_f[jnp.arange(Qn), best], found)
+
+
+def plane_residuals(vmap: VoxelFeatureMap, q_xyz: Array, hit: VoxelLookup
+                    ) -> tuple[Array, Array, Array]:
+    """(n, r, ok): signed point-to-plane residual per query against its
+    voxel's plane."""
+    n = vmap.direction[hit.idx]
+    d = vmap.d[hit.idx]
+    r = jnp.sum(q_xyz * n, axis=1) + d
+    return n, r, hit.found
+
+
+def line_residuals(vmap: VoxelFeatureMap, q_xyz: Array, hit: VoxelLookup
+                   ) -> tuple[Array, Array, Array]:
+    """(grad, r, ok): point-to-line distance + unit gradient per query."""
+    mu = vmap.mean[hit.idx]
+    v = vmap.direction[hit.idx]
+    delta = q_xyz - mu
+    along = jnp.sum(delta * v, axis=1, keepdims=True)
+    perp = delta - along * v
+    r = jnp.linalg.norm(perp, axis=1)
+    grad = perp / jnp.maximum(r, 1e-9)[:, None]
+    return grad, r, hit.found

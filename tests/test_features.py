@@ -102,3 +102,27 @@ def test_extract_features_ignores_invalid_tail():
     corner = np.asarray(masks.corner)[0]
     surf = np.asarray(masks.surface)[0]
     assert not corner[50:].any() and not surf[50:].any()
+
+
+def test_nms_variant_matches_exact_on_structured_scene():
+    # square-room scan: both variants must find the same 4 corner azimuths
+    import numpy as np
+    N_SCAN, H = 4, 720
+    az = np.linspace(-np.pi, np.pi, H, endpoint=False)
+    rows = []
+    for e in np.radians(np.linspace(-10, 10, N_SCAN)):
+        d_wall = 10.0 / np.maximum(np.abs(np.cos(az)), np.abs(np.sin(az)))
+        rows.append((d_wall / np.cos(e)).astype(np.float32))
+    scan = make_scan(rows)
+    exact = F.extract_features(scan)
+    nms = F.extract_features_nms(scan)
+    ce = np.asarray(exact.corner)
+    cn = np.asarray(nms.corner)
+    # same positions up to +-1 column per ring
+    for r in range(N_SCAN):
+        pe, pn = np.nonzero(ce[r])[0], np.nonzero(cn[r])[0]
+        assert len(pn) >= len(pe) - 1
+        for p_ in pe:
+            assert np.min(np.abs(pn - p_)) <= 1, (r, p_, pn)
+    # surfaces broadly agree
+    assert abs(int(exact.surface.sum()) - int(nms.surface.sum())) < 50

@@ -185,3 +185,52 @@ def test_scan_to_map_jits():
     )
     out = f(corner_scan, surf_scan, pose_vec([0, 0, 0], [0.05, 0, 0]))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_scan_to_map_voxel_recovers_pose():
+    from msst_tpu.ops import voxelmap
+
+    corner_map, surf_map = make_world()
+    gt = np.array([0.02, -0.015, 0.05, 0.3, -0.2, 0.1], np.float32)
+    R = Rs.from_euler("xyz", gt[:3]).as_matrix().astype(np.float32)
+    t = gt[3:]
+    corner_scan = subsample(corner_map, 300, RNG)
+    surf_scan = subsample(surf_map, 2000, RNG)
+    corner_scan = (corner_scan - t) @ R
+    surf_scan = (surf_scan - t) @ R
+
+    cvox = voxelmap.build(jnp.asarray(corner_map), jnp.ones(len(corner_map), bool),
+                          1.0, 2048, "line", table_size=4096)
+    svox = voxelmap.build(jnp.asarray(surf_map), jnp.ones(len(surf_map), bool),
+                          1.0, 8192, "plane", table_size=16384)
+    res = reg.scan_to_map_voxel(
+        jnp.asarray(corner_scan), jnp.ones(len(corner_scan), bool),
+        jnp.asarray(surf_scan), jnp.ones(len(surf_scan), bool),
+        cvox, svox, jnp.zeros(6, jnp.float32))
+    got = np.asarray(res.pose)
+    np.testing.assert_allclose(got[:3], gt[:3], atol=6e-3)
+    np.testing.assert_allclose(got[3:], gt[3:], atol=3e-2)
+    assert not bool(res.degenerate)
+    assert int(res.n_surf) > 1000
+
+
+def test_scan_to_map_voxel_degenerate_single_plane():
+    from msst_tpu.ops import voxelmap
+
+    g = np.arange(-10, 10, 0.2, dtype=np.float32)
+    xx, yy = np.meshgrid(g, g)
+    floor = np.stack([xx.ravel(), yy.ravel(), np.zeros(xx.size, np.float32)], 1)
+    surf_scan = subsample(floor, 2000, RNG) + np.array([0, 0, -0.3], np.float32)
+
+    svox = voxelmap.build(jnp.asarray(floor), jnp.ones(len(floor), bool),
+                          1.0, 8192, "plane", table_size=16384)
+    cvox = voxelmap.build(jnp.zeros((8, 3), jnp.float32), jnp.zeros(8, bool),
+                          1.0, 8, "line", table_size=16)
+    res = reg.scan_to_map_voxel(
+        jnp.zeros((8, 3)), jnp.zeros(8, bool),
+        jnp.asarray(surf_scan), jnp.ones(len(surf_scan), bool),
+        cvox, svox, jnp.zeros(6, jnp.float32))
+    assert bool(res.degenerate)
+    got = np.asarray(res.pose)
+    assert abs(got[5] - 0.3) < 0.02
+    assert abs(got[3]) < 1e-3 and abs(got[4]) < 1e-3
