@@ -132,3 +132,48 @@ def auto_calibrate(m_xyz: Array, m_mask: Array, s_xyz: Array, s_mask: Array,
     # s_xyz was pre-transformed by init_pose; compose it back in
     return AutoCalibResult(fine_res.pose.compose(init_pose), ground_ok,
                            jnp.min(fc), fine_res.fitness)
+
+
+def voxel_occupancy_score(m_xyz: Array, m_mask: Array,
+                          s_xyz: Array, s_mask: Array,
+                          pose: se3.Pose, voxel_size: float = 0.5,
+                          table_size: int = 16384) -> Array:
+    """Fraction of transformed-slave points landing in master-occupied voxels
+    — the octree occupancy metric of the lidar2lidar variant's
+    ``RegistrationByVoxelOccupancy`` refinement (``calibration.cpp:330``)."""
+    from ...ops import voxel as voxel_ops
+
+    c = voxel_ops.voxel_coords(m_xyz, voxel_size)
+    h = (c[:, 0] * jnp.int32(73856093) ^ c[:, 1] * jnp.int32(19349663)
+         ^ c[:, 2] * jnp.int32(83492791))
+    h = jnp.abs(h) % jnp.int32(table_size)
+    occ = jnp.zeros(table_size + 1, bool).at[
+        jnp.where(m_mask, h, table_size)].set(True)[:table_size]
+    moved = pose.apply(s_xyz)
+    cs = voxel_ops.voxel_coords(moved, voxel_size)
+    hs = (cs[:, 0] * jnp.int32(73856093) ^ cs[:, 1] * jnp.int32(19349663)
+          ^ cs[:, 2] * jnp.int32(83492791))
+    hs = jnp.abs(hs) % jnp.int32(table_size)
+    hit = occ[hs] & s_mask
+    return jnp.sum(hit) / jnp.maximum(jnp.sum(s_mask), 1)
+
+
+def refine_by_voxel_occupancy(m_xyz, m_mask, s_xyz, s_mask, pose: se3.Pose,
+                              voxel_size: float = 0.5,
+                              delta: float = 0.05, steps: int = 5) -> se3.Pose:
+    """Coordinate-descent occupancy refinement over translation, batched per
+    axis (the variant's final stage; rotations are already ICP-refined)."""
+    offsets = jnp.linspace(-delta * steps, delta * steps, 2 * steps + 1)
+
+    def axis_pass(pose, axis):
+        def score_at(o):
+            t = pose.t.at[axis].add(o)
+            return voxel_occupancy_score(m_xyz, m_mask, s_xyz, s_mask,
+                                         se3.Pose(pose.q, t), voxel_size)
+        scores = jax.vmap(score_at)(offsets)
+        best = offsets[jnp.argmax(scores)]
+        return se3.Pose(pose.q, pose.t.at[axis].add(best))
+
+    for ax in range(3):
+        pose = axis_pass(pose, ax)
+    return pose

@@ -137,7 +137,18 @@ class LioSam:
         """Feed one scan (+ optional imu_t/imu_gyro/imu_acc/imu_rpy/gps_xyz/
         gps_sigma keyword arrays); returns the StepOutput."""
         inp = self._make_input(xyz, ring, time_rel, scan_start, **sensors)
-        self.state, out = odometry_step(self.state, inp, self.p)
+        new_state, out = odometry_step(self.state, inp, self.p)
+        # process-level elasticity (the reference respawns crashed nodes,
+        # module_loam.launch respawn="true"): a non-finite pose means the
+        # estimator diverged — reinitialize rather than propagate NaNs.
+        if not bool(jnp.all(jnp.isfinite(out.pose6))):
+            import warnings
+
+            warnings.warn("odometry diverged (non-finite pose); reinitializing")
+            self.state = init_state(self.p)
+            self._last_scan_time = None
+            return out
+        self.state = new_state
         self._last_scan_time = scan_start
         self._scan_count += 1
 
@@ -165,9 +176,12 @@ class LioSam:
                 self.trajectory.poses[i] = np.asarray(
                     se3.Pose.from_vec6(jnp.asarray(v6)).to_matrix())
 
-    def save_map(self):
+    def save_map(self, directory: Optional[str] = None, resolution: float = 0.0):
         """Terminal map export (the ``save_map`` service,
-        ``mapOptmization.cpp:355-419``): returns dict of numpy arrays."""
+        ``mapOptmization.cpp:355-419``): returns dict of numpy arrays and, if
+        `directory` is given, writes trajectory + corner/surf/global PCDs
+        (optionally voxel-downsampled to `resolution`, like the service's
+        resolution request field)."""
         kf = self.state.kf
         n = int(kf.count)
         out = {"trajectory": np.asarray(kf.pose6[:n]), "times": np.asarray(kf.time[:n])}
@@ -176,4 +190,49 @@ class LioSam:
         surf = np.asarray(poses.apply(jnp.asarray(np.asarray(kf.surf_xyz[:n]))))
         out["corner_map"] = corner[np.asarray(kf.corner_mask[:n])]
         out["surf_map"] = surf[np.asarray(kf.surf_mask[:n])]
+        if directory is not None:
+            import os
+
+            from ...ops.pointcloud import Cloud
+            from ...ops.voxel import voxel_downsample
+            from ...utils.io_pcd import write_pcd
+
+            os.makedirs(directory, exist_ok=True)
+            np.savetxt(os.path.join(directory, "trajectory.txt"),
+                       np.concatenate([out["times"][:, None], out["trajectory"]], axis=1),
+                       header="time roll pitch yaw x y z")
+            for name in ("corner_map", "surf_map"):
+                pts = out[name]
+                if resolution > 0 and len(pts):
+                    c = voxel_downsample(Cloud.create(jnp.asarray(pts)), resolution)
+                    pts = np.asarray(c.xyz)[np.asarray(c.mask)]
+                write_pcd(os.path.join(directory, f"{name}.pcd"), pts)
+            both = np.concatenate([out["corner_map"], out["surf_map"]]) \
+                if len(out["corner_map"]) or len(out["surf_map"]) else np.zeros((0, 3), np.float32)
+            write_pcd(os.path.join(directory, "global_map.pcd"), both)
         return out
+
+    # -- IMU-rate output (the TransformFusion process,
+    #    mapOptmization's sibling in imuPreintegration.cpp:23-154) ----------
+
+    def imu_rate_pose(self, imu_t, imu_gyro, imu_acc):
+        """Compose the latest optimized pose with the IMU increments since the
+        last scan — the smooth high-rate `odometry/imu` output.  Host-side
+        numpy (tiny state), like the reference's 500 Hz path."""
+        from ...ops import imu as imu_ops
+
+        fs = self.state.filter
+        T = self.p.imu_window
+        t = np.asarray(imu_t, np.float32)[-T:]
+        g = np.asarray(imu_gyro, np.float32)[-T:]
+        a = np.asarray(imu_acc, np.float32)[-T:]
+        k = len(t)
+        pad = T - k
+        pre = imu_ops.preintegrate(
+            jnp.asarray(np.pad(t, (0, pad))),
+            jnp.asarray(np.pad(g, ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(a, ((0, pad), (0, 0)))),
+            jnp.asarray(np.arange(T) < k),
+            fs.bias, self.p.imu_params)
+        nav = imu_ops.predict(fs.nav, pre, fs.bias, fs.bias, self.p.imu_params)
+        return se3.Pose(nav.q, nav.p), np.asarray(nav.v)

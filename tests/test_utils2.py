@@ -139,3 +139,76 @@ def test_rate_tracker_and_stage_timer():
         pass
     s = st.summary()
     assert s["a"]["count"] == 2
+
+
+def test_polynomial_roots():
+    from msst_tpu.ops import polynomial as P
+    # (x-1)(x-2)(x+3) = x^3 - 7x + 6
+    r = P.real_roots([1.0, 0.0, -7.0, 6.0])
+    np.testing.assert_allclose(r, [-3, 1, 2], atol=1e-8)
+    v = np.asarray(P.polyval(jnp.asarray([1.0, 0.0, -7.0, 6.0]), jnp.asarray([1.0, 2.0])))
+    np.testing.assert_allclose(v, 0, atol=1e-6)
+
+
+def test_voxel_occupancy_refinement():
+    import jax
+    from msst_tpu.models.calibration.auto_calib import (
+        refine_by_voxel_occupancy, voxel_occupancy_score)
+    from msst_tpu.ops import se3
+
+    rng = np.random.default_rng(15)
+    m = rng.uniform(-10, 10, (4000, 3)).astype(np.float32)
+    s = (m[:2000] + np.array([0.15, -0.1, 0.05], np.float32))
+    mm = jnp.ones(len(m), bool)
+    sm = jnp.ones(len(s), bool)
+    p0 = se3.Pose.identity()
+    s0 = float(voxel_occupancy_score(jnp.asarray(m), mm, jnp.asarray(s), sm, p0, 0.25))
+    p1 = refine_by_voxel_occupancy(jnp.asarray(m), mm, jnp.asarray(s), sm, p0,
+                                   voxel_size=0.25, delta=0.05, steps=4)
+    s1 = float(voxel_occupancy_score(jnp.asarray(m), mm, jnp.asarray(s), sm, p1, 0.25))
+    assert s1 >= s0
+    # refinement should move toward -offset
+    t = np.asarray(p1.t)
+    assert t[0] < -0.05 and t[1] > 0.02
+
+
+def test_imu_rate_pose_and_divergence_guard():
+    import jax
+    from msst_tpu.models.liosam import LioSam
+    from msst_tpu.models.liosam.params import tiny_params
+    from msst_tpu.utils import sim
+
+    world = sim.World()
+    traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.0)
+    data = sim.make_dataset(world, traj, n_scans=6, scan_dt=0.1,
+                            n_scan=16, horizon=360, seed=5)
+    lio = LioSam(tiny_params(loop_closure_enabled=False))
+    for s in data:
+        lio.process_scan(s["xyz"], s["ring"], s["time_rel"], s["scan_start"],
+                         imu_t=s["imu_t"], imu_gyro=s["imu_gyro"],
+                         imu_acc=s["imu_acc"], imu_rpy=s["imu_rpy"])
+    s = data[-1]
+    pose, vel = lio.imu_rate_pose(s["imu_t"], s["imu_gyro"], s["imu_acc"])
+    assert np.isfinite(np.asarray(pose.t)).all()
+    assert np.isfinite(vel).all()
+
+
+def test_save_map_writes_pcds(tmp_path):
+    from msst_tpu.models.liosam import LioSam
+    from msst_tpu.models.liosam.params import tiny_params
+    from msst_tpu.utils import sim
+    from msst_tpu.utils.io_pcd import read_pcd
+
+    world = sim.World()
+    traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.0)
+    data = sim.make_dataset(world, traj, n_scans=4, scan_dt=0.1,
+                            n_scan=16, horizon=360, seed=6)
+    lio = LioSam(tiny_params(loop_closure_enabled=False))
+    for s in data:
+        lio.process_scan(s["xyz"], s["ring"], s["time_rel"], s["scan_start"],
+                         imu_t=s["imu_t"], imu_gyro=s["imu_gyro"],
+                         imu_acc=s["imu_acc"], imu_rpy=s["imu_rpy"])
+    out = lio.save_map(str(tmp_path), resolution=0.5)
+    back = read_pcd(str(tmp_path / "global_map.pcd"))
+    assert len(back["xyz"]) > 100
+    assert (tmp_path / "trajectory.txt").exists()
