@@ -56,11 +56,14 @@ def main():
     import jax
     jax.block_until_ready(out.pose6)
 
+    iters = []
     t0 = time.perf_counter()
     for s in data[n_warm:]:
         out = feed(s)
+        iters.append(out.s2m_iterations)
     jax.block_until_ready(out.pose6)
     wall = time.perf_counter() - t0
+    iters = [int(i) for i in iters]
 
     scans_per_sec = n_bench / wall
     gt0 = data[0]["gt_pose"][:3, 3]
@@ -75,6 +78,8 @@ def main():
         "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 2),
         "extra": {
             "ms_per_scan": round(1000.0 * wall / n_bench, 2),
+            "mean_s2m_iters": round(sum(iters) / max(len(iters), 1), 1),
+            "max_s2m_iters": max(iters) if iters else 0,
             "max_traj_err_m": round(err, 4),
             "scan_size": f"{n_scan}x{horizon}",
             "backend": jax.devices()[0].platform,

@@ -54,6 +54,8 @@ class StepInput(NamedTuple):
 
 class StepOutput(NamedTuple):
     pose: se3.Pose
+    pose_matrix: Array  # (4, 4) — computed in-step: host-side eager op chains
+                        # cost ~1 ms PER OP through the device tunnel
     pose6: Array
     velocity: Array
     bias: imu_ops.ImuBias
@@ -91,7 +93,10 @@ def _assemble_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
         poses = se3.Pose.from_vec6(kf.pose6[sel_idx])     # batched (S,)
         world = poses.apply(pts)                          # (S, C, 3)
         flat = Cloud.create(world.reshape(-1, 3), mask=msk.reshape(-1))
-        return voxel.voxel_downsample(flat, leaf, capacity=cap)
+        # packed single-key sort: the local map lives within the search
+        # radius of `position`, far inside the packed +-512-cell domain
+        return voxel.voxel_downsample_packed(flat, leaf, position,
+                                             capacity=cap)
 
     corner_map = gather(kf.corner_xyz, kf.corner_mask, p.map_corner_cap,
                         p.mapping_corner_leaf_size)
@@ -120,7 +125,7 @@ def _rebuild_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
                                   jnp.zeros((8,), bool), leaf, 8, kind,
                                   table_size=16)
         return voxelmap.build(cloud.xyz, cloud.mask, leaf, cap, kind,
-                              table_size=2 * cap)
+                              table_size=2 * cap, origin=position)
 
     return LocalMap(
         corner_xyz=corner_map.xyz, corner_mask=corner_map.mask,
@@ -342,7 +347,8 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
         loop_closed=jnp.asarray(False),
     )
     out = StepOutput(
-        pose=pose_out, pose6=pose6_out, velocity=fs_new.nav.v, bias=fs_new.bias,
+        pose=pose_out, pose_matrix=pose_out.to_matrix(),
+        pose6=pose6_out, velocity=fs_new.nav.v, bias=fs_new.bias,
         degenerate=degenerate, is_keyframe=is_kf,
         n_corner=front.n_corner, n_surf=front.n_surf,
         kf_count=new_state.kf.count,

@@ -138,10 +138,11 @@ class LioSam:
         gps_sigma keyword arrays); returns the StepOutput."""
         inp = self._make_input(xyz, ring, time_rel, scan_start, **sensors)
         new_state, out = odometry_step(self.state, inp, self.p)
+        pose_mat = np.asarray(out.pose_matrix)  # one D2H, no eager op chain
         # process-level elasticity (the reference respawns crashed nodes,
         # module_loam.launch respawn="true"): a non-finite pose means the
         # estimator diverged — reinitialize rather than propagate NaNs.
-        if not bool(jnp.all(jnp.isfinite(out.pose6))):
+        if not np.isfinite(pose_mat).all():
             import warnings
 
             warnings.warn("odometry diverged (non-finite pose); reinitializing")
@@ -153,7 +154,7 @@ class LioSam:
         self._scan_count += 1
 
         self.trajectory.times.append(scan_start)
-        self.trajectory.poses.append(np.asarray(out.pose.to_matrix()))
+        self.trajectory.poses.append(pose_mat)
 
         if (self.p.loop_closure_enabled
                 and self._scan_count % self._loop_every == 0):

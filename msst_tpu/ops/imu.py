@@ -79,7 +79,122 @@ def preintegrate(
     bias: ImuBias, params: ImuParams,
 ) -> Preintegrated:
     """Integrate a masked IMU window into a relative (dR, dv, dp) with bias
-    Jacobians and covariance.  t (T,), gyro/acc (T, 3), mask (T,).
+    Jacobians and covariance — log-depth parallel formulation.
+
+    The chained recurrences (rotation product, velocity/position cumsums,
+    bias-Jacobian and covariance propagation) are all associative, so instead
+    of a T-step sequential ``lax.scan`` (latency-bound on TPU) everything
+    runs as ``associative_scan`` + cumsums in O(log T) depth.  Semantics are
+    identical to the sequential forward-Euler chain (gtsam's
+    integrateMeasurement fed one msg at a time, :351-358); see
+    ``preintegrate_sequential`` kept for verification.
+    """
+    T = t.shape[0]
+    dts = jnp.diff(t)
+    step_mask = mask[1:] & mask[:-1]
+    dts = jnp.where(step_mask, jnp.clip(dts, 0.0, 0.1), 0.0)
+    m = step_mask.astype(t.dtype)
+
+    w = (gyro[:-1] - bias.gyr) * m[:, None]
+    a = (acc[:-1] - bias.acc) * m[:, None]
+    dt = dts
+
+    # --- rotation chain: R_k = prod_{j<=k} exp(w_j dt_j) via associative scan
+    dq_steps = se3.so3_exp_quat(w * dt[:, None])            # (T-1, 4)
+    q_cum = jax.lax.associative_scan(se3.quat_mul, dq_steps)  # R_1..R_{T-1}
+    q_cum = se3.quat_normalize(q_cum)
+    # R_k before step k (identity for k=0)
+    q_prev = jnp.concatenate([se3.quat_identity((1,)), q_cum[:-1]], axis=0)
+    R_prev = se3.quat_to_matrix(q_prev)                     # (T-1, 3, 3)
+
+    # --- velocity / position: plain cumsums of rotated increments
+    Ra = jnp.einsum("kij,kj->ki", R_prev, a)                # (T-1, 3)
+    dv_steps = Ra * dt[:, None]
+    dv_cum = jnp.cumsum(dv_steps, axis=0)
+    dv_prev = jnp.concatenate([jnp.zeros((1, 3)), dv_cum[:-1]], axis=0)
+    dp_steps = dv_prev * dt[:, None] + 0.5 * Ra * dt[:, None] ** 2
+    dp = jnp.sum(dp_steps, axis=0)
+    dv = dv_cum[-1]
+    dq = q_cum[-1]
+
+    # --- bias Jacobians (linear matrix recurrences -> associative scan on
+    # (A, b) affine pairs: x_{k+1} = A_k x_k + b_k)
+    incr = w * dt[:, None]
+    R_incr_T = jnp.swapaxes(se3.quat_to_matrix(se3.so3_exp_quat(incr)), 1, 2)
+    Jr = se3.so3_left_jacobian(-incr)                       # right Jacobian
+    a_hat = se3.skew(a)
+
+    def affine_compose(x, y):
+        Ax, bx = x
+        Ay, by = y
+        return Ay @ Ax, jnp.einsum("kij,kjl->kil", Ay, bx) + by
+
+    # J_dR_bg: J <- R_incr^T J - Jr dt
+    A_r = R_incr_T
+    b_r = -Jr * dt[:, None, None]
+    _, JdRbg_cum = jax.lax.associative_scan(affine_compose, (A_r, b_r))
+    J_dR_bg = JdRbg_cum[-1]
+    JdRbg_prev = jnp.concatenate([jnp.zeros((1, 3, 3)), JdRbg_cum[:-1]], axis=0)
+
+    # J_dv_ba = -cumsum(R_prev dt); J_dv_bg = -cumsum(R a_hat JdRbg_prev dt)
+    J_dv_ba = -jnp.sum(R_prev * dt[:, None, None], axis=0)
+    Rah = jnp.einsum("kij,kjl->kil", R_prev, a_hat)
+    dvbg_steps = -Rah * dt[:, None, None]
+    dvbg_steps = jnp.einsum("kij,kjl->kil", dvbg_steps, JdRbg_prev)
+    Jvbg_cum = jnp.cumsum(dvbg_steps, axis=0)
+    J_dv_bg = Jvbg_cum[-1]
+    Jvbg_prev = jnp.concatenate([jnp.zeros((1, 3, 3)), Jvbg_cum[:-1]], axis=0)
+    Jvba_cum = -jnp.cumsum(R_prev * dt[:, None, None], axis=0)
+    Jvba_prev = jnp.concatenate([jnp.zeros((1, 3, 3)), Jvba_cum[:-1]], axis=0)
+
+    J_dp_bg = jnp.sum(
+        Jvbg_prev * dt[:, None, None]
+        + 0.5 * dvbg_steps * dt[:, None, None], axis=0)
+    J_dp_ba = jnp.sum(
+        Jvba_prev * dt[:, None, None]
+        - 0.5 * R_prev * dt[:, None, None] ** 2, axis=0)
+
+    # --- covariance: Sigma <- A Sigma A^T + Q, composed associatively via the
+    # same affine trick on (A, Q) pairs with Q composing as A Q A^T + Q'
+    g2 = params.gyr_noise**2
+    a2 = params.acc_noise**2
+    i2 = params.integration_noise**2
+    Z = jnp.zeros((T - 1, 3, 3))
+    eye = jnp.broadcast_to(jnp.eye(3), (T - 1, 3, 3))
+    A = jnp.concatenate([
+        jnp.concatenate([R_incr_T, Z, Z], axis=2),
+        jnp.concatenate([-Rah * dt[:, None, None], eye, Z], axis=2),
+        jnp.concatenate([-0.5 * Rah * dt[:, None, None] ** 2, eye * dt[:, None, None], eye], axis=2),
+    ], axis=1)                                              # (T-1, 9, 9)
+    dt_safe = jnp.maximum(dt, 1e-9)
+    Bg = jnp.concatenate([Jr * dt[:, None, None], Z, Z], axis=1)      # (T-1, 9, 3)
+    Ba = jnp.concatenate([Z, R_prev * dt[:, None, None],
+                          0.5 * R_prev * dt[:, None, None] ** 2], axis=1)
+    Q = (jnp.einsum("kij,klj->kil", Bg * (g2 / dt_safe)[:, None, None], Bg)
+         + jnp.einsum("kij,klj->kil", Ba * (a2 / dt_safe)[:, None, None], Ba))
+    Q = Q.at[:, 6:, 6:].add(jnp.eye(3) * (i2 * dt)[:, None, None])
+    Q = Q * m[:, None, None]
+
+    def cov_compose(x, y):
+        Ax, Qx = x
+        Ay, Qy = y
+        return Ay @ Ax, jnp.einsum("kij,kjl,kml->kim", Ay, Qx, Ay) + Qy
+
+    _, Q_cum = jax.lax.associative_scan(cov_compose, (A, Q))
+    cov = Q_cum[-1]
+
+    total_dt = jnp.sum(dts)
+    n = jnp.sum(step_mask.astype(jnp.int32))
+    return Preintegrated(total_dt, dq, dv, dp, J_dR_bg, J_dv_bg, J_dv_ba,
+                         J_dp_bg, J_dp_ba, cov, n)
+
+
+def preintegrate_sequential(
+    t: Array, gyro: Array, acc: Array, mask: Array,
+    bias: ImuBias, params: ImuParams,
+) -> Preintegrated:
+    """Reference sequential formulation (kept for verification of the
+    log-depth variant above).
 
     Each sample k (k >= 1) integrates over dt = t[k] - t[k-1] using the k-1
     measurement (forward Euler, like gtsam's integrateMeasurement chain the

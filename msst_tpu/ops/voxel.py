@@ -84,6 +84,51 @@ def voxel_downsample(
     return Cloud(sums / denom, mask_out, asums / denom)
 
 
+def voxel_downsample_packed(
+    cloud: Cloud,
+    leaf: float,
+    origin: Array,
+    capacity: Optional[int] = None,
+    half_extent_cells: int = 512,
+) -> Cloud:
+    """Centroid voxel filter with a single packed int32 sort key.
+
+    Equivalent to :func:`voxel_downsample` for clouds within
+    ``half_extent_cells * leaf`` of `origin` (points outside are dropped) —
+    one int32 argsort instead of a 4-key lexsort, which is the difference
+    between a usable and an unusable keyframe-insertion latency on the
+    262k-point local-map gathers.  No spatial-hash survivor shuffling is
+    needed: the packed domain caps the voxel count structurally.
+    """
+    n = cloud.capacity
+    n_out = capacity or n
+    he = half_extent_cells
+    c = jnp.floor((cloud.xyz - origin) / leaf).astype(jnp.int32) + he
+    in_range = jnp.all((c >= 0) & (c < 2 * he), axis=1)
+    ok = cloud.mask & in_range
+    key = (c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2]
+    key = jnp.where(ok, key, jnp.int32(2**30))
+    order = jnp.argsort(key)
+    key_s = key[order]
+    valid_s = ok[order]
+    xyz_s = cloud.xyz[order]
+    attrs_s = cloud.attrs[order]
+
+    new_voxel = key_s != jnp.roll(key_s, 1)
+    new_voxel = new_voxel.at[0].set(True) & valid_s
+    seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1
+    seg = jnp.where(valid_s, seg, n_out)
+
+    w = valid_s.astype(xyz_s.dtype)[:, None]
+    sums = jax.ops.segment_sum(xyz_s * w, seg, num_segments=n_out + 1)[:n_out]
+    asums = jax.ops.segment_sum(attrs_s * w, seg, num_segments=n_out + 1)[:n_out]
+    counts = jax.ops.segment_sum(w[:, 0], seg, num_segments=n_out + 1)[:n_out]
+    denom = jnp.maximum(counts, 1.0)[:, None]
+    n_voxels = jnp.sum(new_voxel.astype(jnp.int32))
+    mask_out = jnp.arange(n_out) < jnp.minimum(n_voxels, n_out)
+    return Cloud(sums / denom, mask_out, asums / denom)
+
+
 def voxel_downsample_first(
     cloud: Cloud, leaf: float, capacity: Optional[int] = None
 ) -> Cloud:

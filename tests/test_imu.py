@@ -143,3 +143,26 @@ def test_allan_variance_white_noise():
 
     fit = imu.fit_allan(jnp.asarray(taus.astype(np.float32)), jnp.asarray(av))
     assert abs(float(fit.white_noise) - sigma) / sigma < 0.2
+
+
+def test_parallel_preintegration_matches_sequential():
+    T, dt = 150, 1 / 300
+    w = np.array([0.3, -0.2, 0.8], np.float32)
+    t, gyro, acc, _ = simulate(T, dt, w, lambda tt: np.array([0.5, -1.0, 0.3]) * np.sin(tt))
+    mask = np.arange(T) < 120  # masked tail
+    bias = imu.ImuBias(jnp.asarray([0.01, -0.02, 0.005]), jnp.asarray([0.05, 0.0, -0.03]))
+    a = imu.preintegrate(jnp.asarray(t), jnp.asarray(gyro), jnp.asarray(acc),
+                         jnp.asarray(mask), bias, P)
+    b = imu.preintegrate_sequential(jnp.asarray(t), jnp.asarray(gyro), jnp.asarray(acc),
+                                    jnp.asarray(mask), bias, P)
+    np.testing.assert_allclose(float(a.dt), float(b.dt), atol=1e-6)
+    assert abs(float(jnp.sum(a.dq * b.dq))) > 1 - 1e-6
+    np.testing.assert_allclose(np.asarray(a.dv), np.asarray(b.dv), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.dp), np.asarray(b.dp), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.J_dR_bg), np.asarray(b.J_dR_bg), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.J_dv_bg), np.asarray(b.J_dv_bg), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.J_dv_ba), np.asarray(b.J_dv_ba), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.J_dp_bg), np.asarray(b.J_dp_bg), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.J_dp_ba), np.asarray(b.J_dp_ba), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.cov), np.asarray(b.cov), rtol=1e-3, atol=1e-10)
+    assert int(a.n_used) == int(b.n_used)

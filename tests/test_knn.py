@@ -65,3 +65,24 @@ def test_radius_count():
     tree = cKDTree(pts)
     expect = np.array([len(tree.query_ball_point(p, 1.0)) for p in q])
     np.testing.assert_array_equal(cnt, expect)
+
+
+def test_pallas_query_interpret_matches_xla():
+    from msst_tpu.ops.knn_pallas import query_pallas
+
+    pts = RNG.uniform(-10, 10, size=(1500, 3)).astype(np.float32)
+    q = RNG.uniform(-9, 9, size=(256, 3)).astype(np.float32)
+    mask = np.ones(1500, bool)
+    mask[:100] = False
+    grid = knn.build(jnp.asarray(pts), jnp.asarray(mask), 1.0, 2048)
+    a = knn.query(grid, jnp.asarray(q), jnp.ones(256, bool), k=5,
+                  candidates_per_cell=32, max_sqdist=1.0)
+    b = query_pallas(grid, jnp.asarray(q), jnp.ones(256, bool), k=5,
+                     candidates_per_cell=32, max_sqdist=1.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_allclose(
+        np.asarray(a.sqdist)[np.asarray(a.valid)],
+        np.asarray(b.sqdist)[np.asarray(b.valid)], atol=1e-5)
+    np.testing.assert_array_equal(
+        np.where(np.asarray(a.valid), np.asarray(a.idx), -1),
+        np.where(np.asarray(b.valid), np.asarray(b.idx), -1))

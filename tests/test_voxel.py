@@ -70,3 +70,27 @@ def test_voxel_downsample_first_keeps_input_order_points():
     # one point per voxel
     cells = set(map(tuple, np.floor(got / 0.5).astype(np.int64)))
     assert len(cells) == len(got)
+
+
+def test_voxel_downsample_packed_matches_lexsort():
+    xyz = RNG.uniform(-30, 30, size=(2000, 3)).astype(np.float32)
+    mask = RNG.uniform(size=2000) < 0.8
+    cloud = Cloud.create(jnp.asarray(xyz), mask=jnp.asarray(mask))
+    a = voxel.voxel_downsample(cloud, leaf=0.5, capacity=4096)
+    origin = jnp.asarray([1.0, -2.0, 0.5])
+    b = voxel.voxel_downsample_packed(cloud, 0.5, origin, capacity=4096)
+    na, nb = int(a.count), int(b.count)
+    assert na == nb
+    # same centroid sets (order differs)
+    pa = np.asarray(a.xyz)[np.asarray(a.mask)]
+    pb = np.asarray(b.xyz)[np.asarray(b.mask)]
+    pa = pa[np.lexsort(pa.T)]
+    pb = pb[np.lexsort(pb.T)]
+    np.testing.assert_allclose(pa, pb, atol=1e-5)
+
+
+def test_voxel_downsample_packed_drops_out_of_range():
+    xyz = np.array([[0.0, 0, 0], [1000.0, 0, 0]], np.float32)
+    cloud = Cloud.create(jnp.asarray(xyz))
+    out = voxel.voxel_downsample_packed(cloud, 1.0, jnp.zeros(3), capacity=8)
+    assert int(out.count) == 1
