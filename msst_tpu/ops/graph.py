@@ -214,6 +214,92 @@ def optimize(graph: PoseGraph, free_mask: Array | None = None,
     return jax.lax.fori_loop(0, iters, gn_step, graph)
 
 
+@partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def optimize_cg(graph: PoseGraph, free_mask: Array | None = None,
+                iters: int = 5, cg_iters: int = 50,
+                damping: float = 1e-4) -> PoseGraph:
+    """Gauss-Newton with a matrix-free preconditioned-CG inner solve.
+
+    The normal-equation matvec is computed factor-wise (two batched einsums +
+    scatter-adds per factor table) without materializing H, so memory is
+    O(K*36) instead of O(K^2*36) — the path for graphs beyond ~1k keyframes
+    where the dense Cholesky of :func:`optimize` stops fitting.  Block-Jacobi
+    (6x6 diagonal blocks) preconditioning."""
+    if free_mask is None:
+        free_mask = graph.pose_mask
+
+    K = graph.capacity
+
+    def gn_step(_, graph):
+        free = (free_mask & graph.pose_mask).astype(jnp.float32)
+
+        rp, Jp = _prior_terms(graph.poses, graph.priors)
+        rb, Ji, Jj = _between_terms(graph.poses, graph.betweens)
+        rg, Jg = _gps_terms(graph.poses, graph.gps)
+        Jp = Jp * free[graph.priors.idx][:, None, None]
+        Ji = Ji * free[graph.betweens.i][:, None, None]
+        Jj = Jj * free[graph.betweens.j][:, None, None]
+        Jg = Jg * free[graph.gps.idx][:, None, None]
+
+        def matvec(x):                      # x: (K, 6)
+            y = jnp.zeros((K, 6))
+            # priors
+            v = jnp.einsum("nri,ni->nr", Jp, x[graph.priors.idx])
+            y = y.at[graph.priors.idx].add(jnp.einsum("nri,nr->ni", Jp, v))
+            # betweens (cross blocks included)
+            v = (jnp.einsum("nri,ni->nr", Ji, x[graph.betweens.i])
+                 + jnp.einsum("nri,ni->nr", Jj, x[graph.betweens.j]))
+            y = y.at[graph.betweens.i].add(jnp.einsum("nri,nr->ni", Ji, v))
+            y = y.at[graph.betweens.j].add(jnp.einsum("nri,nr->ni", Jj, v))
+            # gps
+            v = jnp.einsum("nri,ni->nr", Jg, x[graph.gps.idx])
+            y = y.at[graph.gps.idx].add(jnp.einsum("nri,nr->ni", Jg, v))
+            return y + damping * x
+
+        # gradient
+        g = jnp.zeros((K, 6))
+        g = g.at[graph.priors.idx].add(jnp.einsum("nri,nr->ni", Jp, rp))
+        g = g.at[graph.betweens.i].add(jnp.einsum("nri,nr->ni", Ji, rb))
+        g = g.at[graph.betweens.j].add(jnp.einsum("nri,nr->ni", Jj, rb))
+        g = g.at[graph.gps.idx].add(jnp.einsum("nri,nr->ni", Jg, rg))
+
+        # block-Jacobi preconditioner
+        D = jnp.zeros((K, 6, 6))
+        D = D.at[graph.priors.idx].add(jnp.einsum("nri,nrj->nij", Jp, Jp))
+        D = D.at[graph.betweens.i].add(jnp.einsum("nri,nrj->nij", Ji, Ji))
+        D = D.at[graph.betweens.j].add(jnp.einsum("nri,nrj->nij", Jj, Jj))
+        D = D.at[graph.gps.idx].add(jnp.einsum("nri,nrj->nij", Jg, Jg))
+        D = D + (damping + 1e-6) * jnp.eye(6)
+        Dinv = jnp.linalg.inv(D)
+
+        def precond(x):
+            return jnp.einsum("nij,nj->ni", Dinv, x)
+
+        b = -g
+
+        def cg_body(k, st):
+            x, r, z, pdir, rz = st
+            Ap = matvec(pdir)
+            alpha = rz / jnp.maximum(jnp.sum(pdir * Ap), 1e-12)
+            x = x + alpha * pdir
+            r = r - alpha * Ap
+            z = precond(r)
+            rz_new = jnp.sum(r * z)
+            beta = rz_new / jnp.maximum(rz, 1e-12)
+            pdir = z + beta * pdir
+            return x, r, z, pdir, rz_new
+
+        x0 = jnp.zeros((K, 6))
+        r0 = b
+        z0 = precond(r0)
+        st = (x0, r0, z0, z0, jnp.sum(r0 * z0))
+        x, *_ = jax.lax.fori_loop(0, cg_iters, cg_body, st)
+        dx = x * free[:, None]
+        return graph._replace(poses=se3.pose_retract(graph.poses, dx))
+
+    return jax.lax.fori_loop(0, iters, gn_step, graph)
+
+
 def total_error(graph: PoseGraph) -> Array:
     """Sum of squared whitened residuals (gtsam graph.error() analogue)."""
     rp, _ = _prior_terms(graph.poses, graph.priors)

@@ -276,6 +276,7 @@ def scan_to_map_voxel(
         H = Jc.T @ Jc + Js.T @ Js
         g = Jc.T @ rc + Js.T @ rs
         n_sel = jnp.sum(cm) + jnp.sum(sm)
+        cost = (rc @ rc + rs @ rs) / jnp.maximum(n_sel, 1)
         dx = -linalg.solve_psd(H, g, damping=1e-6)
 
         def first_iter_P():
@@ -291,23 +292,28 @@ def scan_to_map_voxel(
         delta_r = jnp.sqrt(jnp.sum(jnp.degrees(dx[:3]) ** 2))
         delta_t = jnp.sqrt(jnp.sum((dx[3:] * 100.0) ** 2))
         converged = (delta_r < 0.05) & (delta_t < 0.05)
-        return (pose + dx, P, degenerate, converged | ~enough,
+        return (pose + dx, P, degenerate, converged | ~enough, cost,
                 jnp.sum(cm), jnp.sum(sm))
 
     def cond(state):
-        _, _, _, done, it, _, _ = state
+        _, _, _, done, it, _, _, _ = state
         return (~done) & (it < max_iters)
 
     def body(state):
-        pose, P, degenerate, done, it, nc, ns = state
-        pose, P, degenerate, conv, nc, ns = step(pose, P, degenerate, it)
-        return pose, P, degenerate, conv, it + 1, nc, ns
+        pose, P, degenerate, done, it, prev_cost, nc, ns = state
+        pose, P, degenerate, conv, cost, nc, ns = step(pose, P, degenerate, it)
+        # voxel correspondences flip-flop below the mm scale: also stop when
+        # the mean squared residual stops improving (plateau detection; the
+        # reference's exact-NN geometry converges without this)
+        plateau = (it >= 2) & (prev_cost - cost < 1e-3 * cost)
+        return pose, P, degenerate, conv | plateau, it + 1, cost, nc, ns
 
     P0 = jnp.eye(6, dtype=init_pose.dtype)
     state = (init_pose, P0, jnp.asarray(False), jnp.asarray(False),
-             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-             jnp.asarray(0, jnp.int32))
-    pose, P, degenerate, done, it, nc, ns = jax.lax.while_loop(cond, body, state)
+             jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf),
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    pose, P, degenerate, done, it, cost, nc, ns = jax.lax.while_loop(
+        cond, body, state)
     return ScanToMapResult(pose, degenerate, done, it, nc, ns)
 
 

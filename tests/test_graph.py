@@ -132,3 +132,35 @@ def test_masked_factors_ignored():
         sqrt_info=jnp.full(6, 1e6), mask=False))
     out = G.optimize(g, iters=5)
     np.testing.assert_allclose(np.asarray(out.poses.t[0]), 0, atol=1e-4)
+
+
+def test_cg_matches_dense_on_loop_graph():
+    # same square-loop setup as the dense test; CG must land equally
+    K = 8
+    gt_pts = np.array([[0, 0, 0], [10, 0, 0], [10, 10, 0], [0, 10, 0]], np.float32)
+    g = G.empty_graph(K, 2, 8, 2)
+    poses = g.poses
+    drift = np.array([0.0, 0, 0])
+    rng = np.random.default_rng(3)
+    for i in range(4):
+        drift = drift + rng.normal(scale=0.3, size=3)
+        poses = se3.Pose(poses.q.at[i].set(se3.quat_identity()),
+                         poses.t.at[i].set(jnp.asarray(gt_pts[i] + drift, jnp.float32)))
+    g = g._replace(poses=poses, pose_mask=jnp.arange(K) < 4)
+    g = g._replace(priors=set_factor(
+        g.priors, 0, idx=0, meas=se3.Pose.identity(), sqrt_info=jnp.full(6, 1e4), mask=True))
+    b = g.betweens
+    for i in range(3):
+        meas = mk_pose([0, 0, 0], gt_pts[i + 1] - gt_pts[i])
+        b = set_factor(b, i, i=i, j=i + 1, meas=meas, sqrt_info=jnp.full(6, 10.0), mask=True)
+    b = set_factor(b, 3, i=3, j=0, meas=mk_pose([0, 0, 0], gt_pts[0] - gt_pts[3]),
+                   sqrt_info=jnp.full(6, 10.0), mask=True)
+    g = g._replace(betweens=b)
+
+    dense = G.optimize(g, iters=10)
+    cg = G.optimize_cg(g, iters=10, cg_iters=60)
+    for i in range(4):
+        np.testing.assert_allclose(np.asarray(cg.poses.t[i]), gt_pts[i], atol=2e-2)
+        np.testing.assert_allclose(np.asarray(cg.poses.t[i]),
+                                   np.asarray(dense.poses.t[i]), atol=2e-2)
+    assert float(G.total_error(cg)) < 1e-3
