@@ -63,6 +63,7 @@ def main():
         iters.append(out.s2m_iterations)
     jax.block_until_ready(out.pose6)
     wall = time.perf_counter() - t0
+    lio.flush()
     iters = [int(i) for i in iters]
 
     scans_per_sec = n_bench / wall

@@ -76,7 +76,11 @@ def cmd_lio_bag(args):
     if args.scans:
         import itertools
         it = itertools.islice(it, args.scans)
-    lio = _lio_run(it, loop=args.loop)
+    params = None
+    if args.tiny:
+        from msst_tpu.models.liosam.params import tiny_params
+        params = tiny_params(loop_closure_enabled=args.loop)
+    lio = _lio_run(it, params=params, loop=args.loop)
     traj = lio.trajectory.as_matrices()
     np.savetxt(args.output, traj[:, :3, :].reshape(len(traj), 12), fmt="%.6f")
     print(f"{len(traj)} poses -> {args.output}")
@@ -206,6 +210,8 @@ def main(argv=None):
     s.add_argument("--imu-topic", required=True)
     s.add_argument("--scans", type=int, default=0)
     s.add_argument("--loop", action="store_true")
+    s.add_argument("--tiny", action="store_true",
+                   help="small-capacity params (CPU-friendly)")
     s.add_argument("--output", default="trajectory.txt")
     s.set_defaults(fn=cmd_lio_bag)
 

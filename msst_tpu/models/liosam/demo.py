@@ -54,6 +54,7 @@ def main():
                   f"kf={int(out.kf_count)} corners={int(out.n_corner)} "
                   f"surf={int(out.n_surf)} degen={bool(out.degenerate)}")
     wall = time.perf_counter() - t0
+    lio.flush()
 
     gt0 = data[0]["gt_pose"][:3, 3]
     gt = np.stack([s["gt_pose"][:3, 3] - gt0 for s in data])

@@ -61,15 +61,21 @@ class Trajectory:
 class LioSam:
     """Tightly-coupled LiDAR-inertial odometry, one compiled step per scan."""
 
-    def __init__(self, params: Optional[LioParams] = None):
+    def __init__(self, params: Optional[LioParams] = None,
+                 readback_interval: int = 8):
         self.p = params or LioParams()
         self.state: LioState = init_state(self.p)
-        self.trajectory = Trajectory([], [])
+        self._trajectory = Trajectory([], [])
         self._scan_count = 0
         self._last_scan_time = None
         self._loop_every = max(
             1, int(round(1.0 / max(self.p.loop_closure_frequency, 1e-3) * 10))
         )  # scans between loop attempts, assuming ~10 Hz scans
+        # device->host readbacks have ~tens-of-ms latency on tunneled TPUs;
+        # poses are fetched in batches of `readback_interval` scans so the
+        # device pipeline never stalls on a per-scan sync
+        self._readback_interval = max(1, readback_interval)
+        self._pending: list = []  # (time, device pose_matrix)
 
     # -- input assembly -----------------------------------------------------
 
@@ -138,46 +144,72 @@ class LioSam:
         gps_sigma keyword arrays); returns the StepOutput."""
         inp = self._make_input(xyz, ring, time_rel, scan_start, **sensors)
         new_state, out = odometry_step(self.state, inp, self.p)
-        pose_mat = np.asarray(out.pose_matrix)  # one D2H, no eager op chain
-        # process-level elasticity (the reference respawns crashed nodes,
-        # module_loam.launch respawn="true"): a non-finite pose means the
-        # estimator diverged — reinitialize rather than propagate NaNs.
-        if not np.isfinite(pose_mat).all():
-            import warnings
-
-            warnings.warn("odometry diverged (non-finite pose); reinitializing")
-            self.state = init_state(self.p)
-            self._last_scan_time = None
-            return out
         self.state = new_state
         self._last_scan_time = scan_start
         self._scan_count += 1
+        self._pending.append((scan_start, out.pose_matrix))
 
-        self.trajectory.times.append(scan_start)
-        self.trajectory.poses.append(pose_mat)
+        if len(self._pending) >= self._readback_interval:
+            self._flush_pending()
 
         if (self.p.loop_closure_enabled
                 and self._scan_count % self._loop_every == 0):
+            self._flush_pending()
             self.state, loop = loop_closure_step(self.state, self.p)
             if bool(loop.found):
                 # rewrite recorded trajectory tail from optimized keyframes
                 self._resync_trajectory()
         return out
 
+    def _flush_pending(self):
+        """Batch-fetch accumulated poses (one D2H) + divergence check (the
+        respawn="true" equivalent, checked at readback granularity)."""
+        if not self._pending:
+            return
+        times = [t for t, _ in self._pending]
+        mats = np.asarray(jnp.stack([m for _, m in self._pending]))
+        self._pending.clear()
+        if not np.isfinite(mats).all():
+            import warnings
+
+            warnings.warn("odometry diverged (non-finite pose); reinitializing")
+            self.state = init_state(self.p)
+            self._last_scan_time = None
+            # keep the finite prefix
+            for t, m in zip(times, mats):
+                if np.isfinite(m).all():
+                    self._trajectory.times.append(t)
+                    self._trajectory.poses.append(m)
+            return
+        self._trajectory.times.extend(times)
+        self._trajectory.poses.extend(list(mats))
+
+    @property
+    def trajectory(self) -> Trajectory:
+        """Host trajectory (drains any pending device results first)."""
+        self._flush_pending()
+        return self._trajectory
+
     def _resync_trajectory(self):
+        self._flush_pending()
         kf = self.state.kf
         n = int(kf.count)
         poses6 = np.asarray(kf.pose6[:n])
         times = np.asarray(kf.time[:n])
         # map keyframe times onto trajectory entries
-        tmap = {round(float(t), 6): i for i, t in enumerate(self.trajectory.times)}
+        tmap = {round(float(t), 6): i for i, t in enumerate(self._trajectory.times)}
         for t, v6 in zip(times, poses6):
             i = tmap.get(round(float(t), 6))
             if i is not None:
-                self.trajectory.poses[i] = np.asarray(
+                self._trajectory.poses[i] = np.asarray(
                     se3.Pose.from_vec6(jnp.asarray(v6)).to_matrix())
 
+    def flush(self):
+        """Drain pending device results into the host trajectory."""
+        self._flush_pending()
+
     def save_map(self, directory: Optional[str] = None, resolution: float = 0.0):
+        self._flush_pending()
         """Terminal map export (the ``save_map`` service,
         ``mapOptmization.cpp:355-419``): returns dict of numpy arrays and, if
         `directory` is given, writes trajectory + corner/surf/global PCDs

@@ -34,7 +34,12 @@ _BIG = jnp.int32(2**30)
 
 
 class VoxelFeatureMap(NamedTuple):
-    """Fixed-capacity voxel-Gaussian table + hash buckets for O(1) lookup."""
+    """Fixed-capacity voxel-Gaussian table + hash buckets for O(1) lookup.
+
+    `stats` packs [coord-key(bits), mean(3), dir(3), d, valid, count, pad(2)]
+    into one 12-float row so candidate probing is a single wide gather —
+    narrow per-field gathers cost ~4x more on TPU (per-index overhead).
+    """
 
     coords: Array        # (V, 3) int32 voxel coords (garbage where ~mask)
     mean: Array          # (V, 3)
@@ -43,9 +48,11 @@ class VoxelFeatureMap(NamedTuple):
     count: Array         # (V,) member points
     valid: Array         # (V,) bool — passes the geometric quality gates
     mask: Array          # (V,) bool — slot occupied
+    stats: Array         # (V, 12) packed rows (see above)
     bucket_start: Array  # (H,)
     bucket_count: Array  # (H,)
     leaf: Array          # () float32
+    origin: Array        # (3,) key-packing origin (zeros when absolute)
 
     @property
     def capacity(self) -> int:
@@ -60,6 +67,16 @@ def _hash3(c: Array, table_size: int) -> Array:
     h = (c[..., 0] * jnp.int32(_P1) ^ c[..., 1] * jnp.int32(_P2)
          ^ c[..., 2] * jnp.int32(_P3))
     return jnp.abs(h) % jnp.int32(table_size)
+
+
+def _coord_key(c: Array) -> Array:
+    """Pack voxel coords into one int32 (21/21/21 -> 10/10/10 bits around a
+    +-512-cell domain; out-of-domain coords produce a sentinel that never
+    matches a query)."""
+    shifted = c + 512
+    ok = jnp.all((shifted >= 0) & (shifted < 1024), axis=-1)
+    key = (shifted[..., 0] << 20) | (shifted[..., 1] << 10) | shifted[..., 2]
+    return jnp.where(ok, key, jnp.int32(2**30))
 
 
 def build(xyz: Array, mask: Array, leaf: float, capacity: int,
@@ -140,26 +157,49 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
     def perm(a):
         return a[horder]
 
+    coords_p = perm(coords_v)
+    mean_p = perm(mu)
+    dir_p = perm(direction)
+    d_p = perm(d)
+    cnt_p = perm(cnt)
+    valid_p = perm(valid)
+    mask_p = perm(occupied)
+    # coord keys are packed RELATIVE to origin (or absolute when origin=None,
+    # valid while |coords| < 512 cells)
+    rel = coords_p if origin is None else (
+        coords_p - jnp.floor(origin / leaf_f).astype(jnp.int32))
+    key_bits = jax.lax.bitcast_convert_type(_coord_key(rel), jnp.float32)
+    stats = jnp.concatenate([
+        key_bits[:, None], mean_p, dir_p, d_p[:, None],
+        valid_p.astype(jnp.float32)[:, None],
+        cnt_p.astype(jnp.float32)[:, None],
+        jnp.zeros((capacity, 2), jnp.float32),
+    ], axis=1)
+
     return VoxelFeatureMap(
-        coords=perm(coords_v), mean=perm(mu), direction=perm(direction),
-        d=perm(d), count=perm(cnt), valid=perm(valid), mask=perm(occupied),
+        coords=coords_p, mean=mean_p, direction=dir_p,
+        d=d_p, count=cnt_p, valid=valid_p, mask=mask_p, stats=stats,
         bucket_start=starts.astype(jnp.int32),
         bucket_count=(ends - starts).astype(jnp.int32),
         leaf=leaf_f,
+        origin=jnp.zeros(3, jnp.float32) if origin is None else jnp.asarray(origin, jnp.float32),
     )
 
 
 class VoxelLookup(NamedTuple):
-    idx: Array    # (Q,) best matching voxel slot (clipped)
-    found: Array  # (Q,) bool
+    idx: Array        # (Q,) best matching voxel slot (clipped)
+    found: Array      # (Q,) bool
+    mean: Array       # (Q, 3) matched voxel mean
+    direction: Array  # (Q, 3) matched voxel plane normal / line direction
+    d: Array          # (Q,) matched plane offset
 
 
 def lookup(vmap: VoxelFeatureMap, q_xyz: Array, q_mask: Array,
-           candidates_per_bucket: int = 4) -> VoxelLookup:
+           candidates_per_bucket: int = 3) -> VoxelLookup:
     """Find the best feature voxel for each query point: probe the containing
     voxel + the 7 octant neighbors toward the in-cell offset, resolve hash
-    buckets by exact coordinate match, choose the valid voxel with the
-    nearest mean."""
+    buckets by packed-coordinate-key match against ONE wide stats gather,
+    choose the valid voxel with the nearest mean."""
     C = candidates_per_bucket
     g = q_xyz / vmap.leaf
     base = jnp.floor(g).astype(jnp.int32)               # (Q, 3)
@@ -178,37 +218,42 @@ def lookup(vmap: VoxelFeatureMap, q_xyz: Array, q_mask: Array,
     cand = start[..., None] + lane                      # (Q, 8, C)
     ok = lane < count[..., None]
     cand = jnp.where(ok, cand, vmap.capacity - 1)
-    ccoords = vmap.coords[cand]                         # (Q, 8, C, 3)
-    match = ok & jnp.all(ccoords == cells[:, :, None, :], axis=-1)
-    match &= vmap.valid[cand]
 
     Qn = q_xyz.shape[0]
     cand_f = cand.reshape(Qn, -1)
-    match_f = match.reshape(Qn, -1)
-    means = vmap.mean[cand_f]                           # (Q, 8C, 3)
+    rows = vmap.stats[cand_f]                           # (Q, 8C, 12) ONE gather
+    keys = jax.lax.bitcast_convert_type(rows[..., 0], jnp.int32)
+    rel_cells = cells - jnp.floor(vmap.origin / vmap.leaf).astype(jnp.int32)
+    expect = _coord_key(rel_cells)                      # (Q, 8)
+    expect_f = jnp.repeat(expect, C, axis=1)            # (Q, 8C)
+    match = (keys == expect_f) & ok.reshape(Qn, -1) & (rows[..., 8] > 0.5)
+
+    means = rows[..., 1:4]
     d2 = jnp.sum((means - q_xyz[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(match_f & q_mask[:, None], d2, jnp.inf)
+    d2 = jnp.where(match & q_mask[:, None], d2, jnp.inf)
     best = jnp.argmin(d2, axis=1)
+    rowsel = jnp.take_along_axis(rows, best[:, None, None], axis=1)[:, 0]
     found = jnp.isfinite(d2[jnp.arange(Qn), best])
-    return VoxelLookup(cand_f[jnp.arange(Qn), best], found)
+    return VoxelLookup(
+        idx=cand_f[jnp.arange(Qn), best], found=found,
+        mean=rowsel[:, 1:4], direction=rowsel[:, 4:7], d=rowsel[:, 7],
+    )
 
 
 def plane_residuals(vmap: VoxelFeatureMap, q_xyz: Array, hit: VoxelLookup
                     ) -> tuple[Array, Array, Array]:
     """(n, r, ok): signed point-to-plane residual per query against its
-    voxel's plane."""
-    n = vmap.direction[hit.idx]
-    d = vmap.d[hit.idx]
-    r = jnp.sum(q_xyz * n, axis=1) + d
-    return n, r, hit.found
+    voxel's plane (stats come from the lookup's gathered rows — no second
+    gather)."""
+    r = jnp.sum(q_xyz * hit.direction, axis=1) + hit.d
+    return hit.direction, r, hit.found
 
 
 def line_residuals(vmap: VoxelFeatureMap, q_xyz: Array, hit: VoxelLookup
                    ) -> tuple[Array, Array, Array]:
     """(grad, r, ok): point-to-line distance + unit gradient per query."""
-    mu = vmap.mean[hit.idx]
-    v = vmap.direction[hit.idx]
-    delta = q_xyz - mu
+    delta = q_xyz - hit.mean
+    v = hit.direction
     along = jnp.sum(delta * v, axis=1, keepdims=True)
     perp = delta - along * v
     r = jnp.linalg.norm(perp, axis=1)

@@ -256,3 +256,44 @@ def test_rosbag_roundtrip(tmp_path):
     assert abs(s["scan_start"] - 10.2) < 1e-6
     assert len(s["imu_t"]) > 20
     np.testing.assert_allclose(s["imu_gyro"][:, 0], 0.1, atol=1e-6)
+
+
+def test_lio_bag_cli_end_to_end(tmp_path):
+    """Replay a synthetic bag through the msst CLI into a trajectory file."""
+    import subprocess
+    import sys
+
+    from msst_tpu.utils import sim
+
+    world = sim.World()
+    traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.0)
+    data = sim.make_dataset(world, traj, n_scans=4, scan_dt=0.1,
+                            n_scan=16, horizon=360, seed=9)
+    imu_msgs, cloud_msgs = [], []
+    for s in data:
+        for k in range(len(s["imu_t"])):
+            imu_msgs.append((float(s["imu_t"][k]),
+                             encode_imu(float(s["imu_t"][k]),
+                                        s["imu_gyro"][k], s["imu_acc"][k])))
+        cloud_msgs.append((s["scan_start"] + 1000.0,
+                           encode_cloud(s["scan_start"] + 1000.0,
+                                        s["xyz"], s["ring"], s["time_rel"])))
+    # shift imu stamps to match clouds
+    imu_msgs = [(t + 1000.0, encode_imu(t + 1000.0, g, a)) for (t, _), g, a in
+                zip(imu_msgs, np.concatenate([s["imu_gyro"] for s in data]),
+                    np.concatenate([s["imu_acc"] for s in data]))]
+    bag = os.path.join(tmp_path, "session.bag")
+    make_tiny_bag(bag, imu_msgs, cloud_msgs)
+
+    out = os.path.join(tmp_path, "traj.txt")
+    r = subprocess.run(
+        [sys.executable, "-m", "msst_tpu.cli", "lio-bag", bag,
+         "--cloud-topic", "/points", "--imu-topic", "/imu",
+         "--tiny", "--output", out],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    traj_out = np.loadtxt(out)
+    assert traj_out.shape == (4, 12)
+    assert np.isfinite(traj_out).all()

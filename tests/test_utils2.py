@@ -212,3 +212,25 @@ def test_save_map_writes_pcds(tmp_path):
     back = read_pcd(str(tmp_path / "global_map.pcd"))
     assert len(back["xyz"]) > 100
     assert (tmp_path / "trajectory.txt").exists()
+
+
+def test_viz_export(tmp_path):
+    from msst_tpu.models.liosam import LioSam
+    from msst_tpu.models.liosam.params import tiny_params
+    from msst_tpu.utils import sim, viz
+
+    world = sim.World()
+    traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.0)
+    data = sim.make_dataset(world, traj, n_scans=4, scan_dt=0.1,
+                            n_scan=16, horizon=360, seed=8)
+    lio = LioSam(tiny_params(loop_closure_enabled=False))
+    for s in data:
+        lio.process_scan(s["xyz"], s["ring"], s["time_rel"], s["scan_start"],
+                         imu_t=s["imu_t"], imu_gyro=s["imu_gyro"],
+                         imu_acc=s["imu_acc"], imu_rpy=s["imu_rpy"])
+    gt = np.stack([s["gt_pose"][:3, 3] for s in data])
+    viz.export_session(lio, str(tmp_path), gt)
+    assert (tmp_path / "trajectory.png").exists()
+    assert (tmp_path / "global_map.ply").exists()
+    head = open(tmp_path / "global_map.ply").readline()
+    assert head.strip() == "ply"
