@@ -67,6 +67,46 @@ class StepOutput(NamedTuple):
     s2m_iterations: Array
 
 
+def unpack_step_input(points: Array, aux: Array, p: LioParams) -> StepInput:
+    """Rebuild a StepInput from the 2-array packed host format (see
+    pipeline._make_input: each host->device transfer has fixed latency
+    through the tunnel, so 13 small transfers cost more than 2 larger ones).
+
+    points: (max_points, 5) = [x, y, z, time_rel, ring]
+    aux:    (2T + 2, 8): rows [0, T)   scan-window IMU [t, gyro3, acc3, mask]
+                         rows [T, 2T)  inter-scan IMU  [t, gyro3, acc3, mask]
+                         row 2T   [scan_start, n_points, imu_available, rpy0..2, gps_valid, 0]
+                         row 2T+1 [gps_xyz(3), gps_sigma(3), 0, 0]
+    """
+    T = p.imu_window
+    misc = aux[2 * T]
+    gps = aux[2 * T + 1]
+    n_pts = misc[1].astype(jnp.int32)
+    scan = ScanInput(
+        xyz=points[:, :3],
+        mask=jnp.arange(p.max_points) < n_pts,
+        ring=points[:, 4].astype(jnp.int32),
+        time=points[:, 3],
+        scan_start=misc[0],
+        imu_t=aux[:T, 0], imu_gyro=aux[:T, 1:4], imu_acc=aux[:T, 4:7],
+        imu_mask=aux[:T, 7] > 0.5,
+        imu_rpy_init=misc[3:6],
+        imu_available=misc[2] > 0.5,
+    )
+    return StepInput(
+        scan=scan,
+        pre_t=aux[T:2 * T, 0], pre_gyro=aux[T:2 * T, 1:4],
+        pre_acc=aux[T:2 * T, 4:7], pre_mask=aux[T:2 * T, 7] > 0.5,
+        gps_xyz=gps[:3], gps_sigma=gps[3:6], gps_valid=misc[6] > 0.5,
+    )
+
+
+@partial(jax.jit, static_argnames=("p",))
+def odometry_step_packed(state: LioState, points: Array, aux: Array,
+                         p: LioParams):
+    return odometry_step(state, unpack_step_input(points, aux, p), p)
+
+
 # ---------------------------------------------------------------------------
 # local map assembly
 # ---------------------------------------------------------------------------

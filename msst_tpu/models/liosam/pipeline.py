@@ -20,7 +20,7 @@ import numpy as np
 from ...ops import se3
 from .frontend import ScanInput
 from .loop import loop_closure_step
-from .mapping import StepInput, odometry_step
+from .mapping import StepInput, odometry_step, odometry_step_packed
 from .params import LioParams
 from .state import LioState, init_state
 
@@ -81,69 +81,67 @@ class LioSam:
 
     def _make_input(self, xyz, ring, time_rel, scan_start,
                     imu_t=None, imu_gyro=None, imu_acc=None, imu_rpy=None,
-                    gps_xyz=None, gps_sigma=None) -> StepInput:
+                    gps_xyz=None, gps_sigma=None):
+        """Pack one scan's inputs into TWO device arrays (points, aux) —
+        transfers through the device tunnel pay a fixed latency each, so 13
+        small uploads cost more than 2 larger ones.  Layout documented in
+        mapping.unpack_step_input."""
         p = self.p
-        n = len(xyz)
-        mask = np.zeros(p.max_points, bool)
-        mask[: min(n, p.max_points)] = True
+        n = min(len(xyz), p.max_points)
         T = p.imu_window
+
+        points = np.zeros((p.max_points, 5), np.float32)
+        points[:n, :3] = np.asarray(xyz, np.float32)[:n]
+        points[:n, 3] = np.asarray(time_rel, np.float32)[:n]
+        points[:n, 4] = np.asarray(ring, np.float32)[:n]
 
         if imu_t is None or len(imu_t) == 0:
             imu_t = np.zeros(0, np.float32)
             imu_gyro = np.zeros((0, 3), np.float32)
             imu_acc = np.zeros((0, 3), np.float32)
         imu_t = np.asarray(imu_t, np.float32)
+        imu_gyro = np.asarray(imu_gyro, np.float32)
+        imu_acc = np.asarray(imu_acc, np.float32)
 
-        # deskew window: samples covering the scan
         scan_end = scan_start + (float(np.max(time_rel)) if n else 0.1)
         in_scan = (imu_t >= scan_start - 0.01) & (imu_t <= scan_end + 0.01)
-        # inter-scan window: previous scan -> current scan start
         t_prev = self._last_scan_time if self._last_scan_time is not None else scan_start
         in_pre = (imu_t >= t_prev) & (imu_t <= scan_start + 0.005)
 
-        def win(sel):
-            k = int(sel.sum())
-            m = np.zeros(T, bool)
-            m[: min(k, T)] = True
-            return (
-                _pad(imu_t[sel], T), _pad(np.asarray(imu_gyro, np.float32)[sel], T),
-                _pad(np.asarray(imu_acc, np.float32)[sel], T), m,
-            )
+        aux = np.zeros((2 * T + 2, 8), np.float32)
 
-        st, sg, sa, sm = win(in_scan)
-        pt, pg, pa, pm = win(in_pre)
-        imu_avail = np.asarray(sm.sum() > 1)
+        def fill(rows, sel):
+            k = min(int(sel.sum()), T)
+            aux[rows:rows + k, 0] = imu_t[sel][:k]
+            aux[rows:rows + k, 1:4] = imu_gyro[sel][:k]
+            aux[rows:rows + k, 4:7] = imu_acc[sel][:k]
+            aux[rows:rows + k, 7] = 1.0
+            return k
 
-        scan = ScanInput(
-            xyz=jnp.asarray(_pad(np.asarray(xyz, np.float32), p.max_points)),
-            mask=jnp.asarray(mask),
-            ring=jnp.asarray(_pad(np.asarray(ring, np.int32), p.max_points)),
-            time=jnp.asarray(_pad(np.asarray(time_rel, np.float32), p.max_points)),
-            scan_start=jnp.asarray(np.float32(scan_start)),
-            imu_t=jnp.asarray(st), imu_gyro=jnp.asarray(sg),
-            imu_acc=jnp.asarray(sa), imu_mask=jnp.asarray(sm),
-            imu_rpy_init=jnp.asarray(
-                np.asarray(imu_rpy, np.float32) if imu_rpy is not None else np.zeros(3, np.float32)),
-            imu_available=jnp.asarray(imu_avail),
-        )
-        return StepInput(
-            scan=scan,
-            pre_t=jnp.asarray(pt), pre_gyro=jnp.asarray(pg),
-            pre_acc=jnp.asarray(pa), pre_mask=jnp.asarray(pm),
-            gps_xyz=jnp.asarray(
-                np.asarray(gps_xyz, np.float32) if gps_xyz is not None else np.zeros(3, np.float32)),
-            gps_sigma=jnp.asarray(
-                np.asarray(gps_sigma, np.float32) if gps_sigma is not None else np.ones(3, np.float32)),
-            gps_valid=jnp.asarray(gps_xyz is not None),
-        )
+        k_scan = fill(0, in_scan)
+        fill(T, in_pre)
+        misc = aux[2 * T]
+        misc[0] = scan_start
+        misc[1] = n
+        misc[2] = 1.0 if k_scan > 1 else 0.0
+        if imu_rpy is not None:
+            misc[3:6] = np.asarray(imu_rpy, np.float32)
+        misc[6] = 1.0 if gps_xyz is not None else 0.0
+        if gps_xyz is not None:
+            aux[2 * T + 1, :3] = np.asarray(gps_xyz, np.float32)
+            aux[2 * T + 1, 3:6] = np.asarray(
+                gps_sigma if gps_sigma is not None else np.ones(3), np.float32)
+        else:
+            aux[2 * T + 1, 3:6] = 1.0
+        return jnp.asarray(points), jnp.asarray(aux)
 
     # -- public API ---------------------------------------------------------
 
     def process_scan(self, xyz, ring, time_rel, scan_start, **sensors):
         """Feed one scan (+ optional imu_t/imu_gyro/imu_acc/imu_rpy/gps_xyz/
         gps_sigma keyword arrays); returns the StepOutput."""
-        inp = self._make_input(xyz, ring, time_rel, scan_start, **sensors)
-        new_state, out = odometry_step(self.state, inp, self.p)
+        points, aux = self._make_input(xyz, ring, time_rel, scan_start, **sensors)
+        new_state, out = odometry_step_packed(self.state, points, aux, self.p)
         self.state = new_state
         self._last_scan_time = scan_start
         self._scan_count += 1

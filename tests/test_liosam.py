@@ -115,3 +115,52 @@ def test_loop_closure_detects_revisit():
     gt0 = data[0]["gt_pose"][:3, 3]
     gt = np.stack([s["gt_pose"][:3, 3] - gt0 for s in data])
     assert np.linalg.norm(est - gt, axis=1).max() < 1.0
+
+
+def test_multi_lidar_fusion_into_lio():
+    """Two simulated LiDARs fused into one cloud, fed to LIO (the
+    PointClouds_Fusion -> LIO-SAM composition of the reference stack)."""
+    import jax.numpy as jnp
+
+    from msst_tpu.models.fusion import FusionConfig, PointCloudFusion
+    from msst_tpu.utils.sim import raycast_scan
+
+    world = sim.World()
+    traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.0)
+    data = sim.make_dataset(world, traj, n_scans=8, scan_dt=0.1,
+                            n_scan=16, horizon=360, seed=12)
+    # second lidar mounted 0.5 m forward with 30 deg yaw
+    ext = (0.5, 0.0, 0.0, 0.0, 0.0, np.radians(30.0))
+    fuser = PointCloudFusion(FusionConfig(
+        n_lidars=2, capacity=16384,
+        extrinsics=((0, 0, 0, 0, 0, 0), ext), ego_lo=None, ego_hi=None))
+
+    import numpy as _np
+    from scipy.spatial.transform import Rotation as Rs
+    lio = LioSam(tiny_params(loop_closure_enabled=False, max_points=16384))
+    rng = np.random.default_rng(0)
+    for s in data:
+        # synthesize the second lidar's view from its mounted pose
+        T_mount = _np.eye(4)
+        T_mount[:3, :3] = Rs.from_euler("z", np.radians(30.0)).as_matrix()
+        T_mount[:3, 3] = [0.5, 0, 0]
+        T2 = s["gt_pose"] @ T_mount
+        xyz2, ring2, trel2 = raycast_scan(world, T2, n_scan=16, horizon=360,
+                                          noise=0.01, rng=rng)
+        fused = fuser.fuse_arrays([s["xyz"], xyz2])
+        m = np.asarray(fused.mask)
+        xyz_f = np.asarray(fused.xyz)[m]
+        # rings/time: fused cloud loses per-ring identity; re-derive rings
+        # from elevation like the KITTI path
+        el = np.degrees(np.arctan2(xyz_f[:, 2], np.linalg.norm(xyz_f[:, :2], axis=1)))
+        ring_f = np.clip(((el + 15) / 30 * 15).round().astype(np.int32), 0, 15)
+        az = np.arctan2(xyz_f[:, 1], xyz_f[:, 0])
+        trel_f = ((az + np.pi) / (2 * np.pi) * 0.1).astype(np.float32)
+        lio.process_scan(xyz_f, ring_f, trel_f, s["scan_start"],
+                         imu_t=s["imu_t"], imu_gyro=s["imu_gyro"],
+                         imu_acc=s["imu_acc"], imu_rpy=s["imu_rpy"])
+    gt0 = data[0]["gt_pose"][:3, 3]
+    gt = np.stack([s["gt_pose"][:3, 3] - gt0 for s in data])
+    est = lio.trajectory.as_matrices()[:, :3, 3]
+    err = np.linalg.norm(est - gt, axis=1)
+    assert err.max() < 0.6, err
