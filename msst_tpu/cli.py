@@ -61,12 +61,41 @@ def cmd_lio_kitti(args):
     if args.scans:
         import itertools
         it = itertools.islice(it, args.scans)
-    p = LioParams(n_scan=args.rings, horizon_scan=args.horizon,
-                  max_points=150000, loop_closure_enabled=args.loop)
+    if args.tiny:
+        from msst_tpu.models.liosam.params import tiny_params
+        p = tiny_params(n_scan=args.rings, loop_closure_enabled=args.loop,
+                        max_points=32768)
+    else:
+        p = LioParams(n_scan=args.rings, horizon_scan=args.horizon,
+                      max_points=150000, loop_closure_enabled=args.loop)
     lio = _lio_run(it, params=p, loop=args.loop)
     traj = lio.trajectory.as_matrices()
     np.savetxt(args.output, traj[:, :3, :].reshape(len(traj), 12), fmt="%.6f")
     print(f"{len(traj)} poses -> {args.output} (KITTI format)")
+
+    # accuracy report against the OXTS ground truth when available
+    if drive.oxts is not None and len(traj) >= 2:
+        from scipy.spatial.transform import Rotation as Rs
+
+        from msst_tpu.utils import kitti_eval as KE
+
+        enu = drive.gps_enu()
+        t_gt, _, _, rpy = drive.imu_samples()
+        gt = []
+        for k in range(len(traj)):
+            ts = drive.velo_times[k]
+            i = int(np.clip(np.searchsorted(t_gt, ts), 0, len(enu) - 1))
+            T = np.eye(4)
+            T[:3, :3] = Rs.from_euler("xyz", rpy[i]).as_matrix()
+            T[:3, 3] = enu[i]
+            gt.append(T)
+        gt = np.stack(gt)
+        print(f"ATE RMSE: {KE.ate_rmse(traj, gt) * 100:.1f} cm")
+        s = KE.kitti_summary(traj, gt)
+        if s["n_segments"]:
+            print(f"KITTI drift: {s['t_err_pct']:.2f} % translation, "
+                  f"{s['r_err_deg_per_m']:.4f} deg/m rotation "
+                  f"({s['n_segments']} segments)")
 
 
 def cmd_lio_bag(args):
@@ -201,6 +230,8 @@ def main(argv=None):
     s.add_argument("--horizon", type=int, default=1800)
     s.add_argument("--scans", type=int, default=0)
     s.add_argument("--loop", action="store_true")
+    s.add_argument("--tiny", action="store_true",
+                   help="small-capacity params (CPU-friendly)")
     s.add_argument("--output", default="trajectory_kitti.txt")
     s.set_defaults(fn=cmd_lio_kitti)
 

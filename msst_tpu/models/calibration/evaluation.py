@@ -12,9 +12,6 @@ from typing import Sequence
 
 import numpy as np
 
-from ...ops import se3
-
-
 def _as_matrix(p) -> np.ndarray:
     if hasattr(p, "to_matrix"):
         return np.asarray(p.to_matrix())

@@ -14,7 +14,6 @@ fusion is one fused program (``ops.pointcloud.fuse``).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Sequence
 
 import jax

@@ -33,7 +33,7 @@ from ...ops import imu as imu_ops
 from ...ops import knn, registration, se3, voxel
 from ...ops.pointcloud import Cloud
 from . import imu_fusion
-from .frontend import FrontendOutput, ScanInput, run_frontend
+from .frontend import ScanInput, run_frontend
 from .params import LioParams
 from .state import KeyframeStore, LioState
 
@@ -101,9 +101,11 @@ def unpack_step_input(points: Array, aux: Array, p: LioParams) -> StepInput:
     )
 
 
-@partial(jax.jit, static_argnames=("p",))
+@partial(jax.jit, static_argnames=("p",), donate_argnums=(0,))
 def odometry_step_packed(state: LioState, points: Array, aux: Array,
                          p: LioParams):
+    """Hot-path entry: packed inputs + donated state buffers (the keyframe
+    store is ~100 MB; without donation every step reallocates and copies it)."""
     return odometry_step(state, unpack_step_input(points, aux, p), p)
 
 
@@ -259,8 +261,16 @@ def _insert_keyframe(state: LioState, pose6: Array, scan_time: Array,
         )
         return graph._replace(gps=f), n_gps + 1
 
+    # GPS gating (addGPSFactor :1420-1434): fix quality below gpsCovThreshold,
+    # and only when the estimator is uncertain enough (poseCovThreshold; the
+    # reference reads iSAM marginals — here the ESKF position covariance.
+    # Default 0.0 = always fuse, since the scales differ; see params).
+    gps_quality_ok = jnp.max(inp.gps_sigma**2) < p.gps_cov_threshold
+    pos_cov = jnp.trace(state.filter.cov[6:9, 6:9])
+    pose_uncertain = pos_cov >= p.pose_cov_threshold
     graph, n_gps = jax.lax.cond(
-        inp.gps_valid, add_gps, lambda a: a, (graph, state.n_gps)
+        inp.gps_valid & gps_quality_ok & pose_uncertain,
+        add_gps, lambda a: a, (graph, state.n_gps)
     )
 
     # windowed optimization (iSAM2-update stand-in)

@@ -74,7 +74,9 @@ class LioParams:
     # --- GPS fusion (params.yaml:14-18)
     use_gps_elevation: bool = False
     gps_cov_threshold: float = 2.0
-    pose_cov_threshold: float = 25.0
+    # reference default 25.0 against iSAM marginals; our gate reads the ESKF
+    # position covariance whose scale differs — 0.0 = always fuse gated GPS
+    pose_cov_threshold: float = 0.0
 
     # --- static capacity caps (TPU fixed shapes; no reference analogue —
     # the reference grows dynamically, see SURVEY.md §7 "dynamic shapes")

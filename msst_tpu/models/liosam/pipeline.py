@@ -18,9 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops import se3
-from .frontend import ScanInput
 from .loop import loop_closure_step
-from .mapping import StepInput, odometry_step, odometry_step_packed
+from .mapping import odometry_step, odometry_step_packed
 from .params import LioParams
 from .state import LioState, init_state
 

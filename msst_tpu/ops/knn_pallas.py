@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import knn as knn_xla
 from .knn import HashGrid, KnnResult
 
 Array = jax.Array

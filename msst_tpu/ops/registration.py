@@ -488,7 +488,6 @@ def build_ndt_map(xyz: Array, mask: Array, resolution: float,
                   table_size: int = 8192) -> NdtMap:
     """Voxelize the target into per-cell Gaussians (mean + regularized
     covariance), like pcl::NormalDistributionsTransform's target grid."""
-    from .pointcloud import Cloud  # local import to avoid cycle
     from . import voxel as _voxel
 
     c = _voxel.voxel_coords(xyz, resolution)

@@ -14,8 +14,6 @@ import math
 import re
 import xml.etree.ElementTree as ET
 
-import numpy as np
-
 
 def load_calibration_yaml(path: str) -> dict:
     """Parse the reference's calibration YAML without requiring pyyaml:

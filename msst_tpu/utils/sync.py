@@ -14,7 +14,7 @@
 from __future__ import annotations
 
 import collections
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 
 class ApproximateTimeSynchronizer:

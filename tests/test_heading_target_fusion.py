@@ -135,3 +135,49 @@ def test_fusion_two_lidars_with_ego_box():
     keep_b = ~((np.abs(bt) <= 0.5).all(axis=1))
     expect = 500 - (np.abs(a) <= 0.5).all(axis=1).sum() + keep_b.sum()
     assert abs(m.sum() - expect) <= 1
+
+
+def test_target_tracker_modbus_output_chain():
+    """Tracker output published through the Modbus-TCP register bank and read
+    back by a client — the lidar_target02 output chain (registers like the
+    reference's atomic bank, node.cpp:151-158)."""
+    from msst_tpu.utils.modbus import (ModbusTcpClient, ModbusTcpServer,
+                                       registers_to_float)
+
+    cfg = TargetConfig(max_points=512, fit_method="algebraic")
+    st = TrackerState.create()
+    c_gt = np.array([5.0, 2.0])
+    theta = RNG.uniform(0, 2 * np.pi, 40)
+    target = c_gt + 0.1 * np.column_stack([np.cos(theta), np.sin(theta)])
+    bg = RNG.uniform(-20, 20, size=(200, 2))
+    xy = np.concatenate([target, bg]).astype(np.float32)
+    xyz = np.concatenate([xy, np.zeros((len(xy), 1), np.float32)], axis=1)
+    inten = np.concatenate([np.full(40, 200.0), np.full(200, 20.0)]).astype(np.float32)
+    pad = cfg.max_points - len(xyz)
+    xyz = np.pad(xyz, ((0, pad), (0, 0)))
+    inten = np.pad(inten, (0, pad))
+    mask = np.arange(cfg.max_points) < len(xy)
+
+    st, out = track_step(st, jnp.asarray(xyz), jnp.asarray(inten),
+                         jnp.asarray(mask), jnp.asarray(0.1),
+                         jax.random.PRNGKey(0), cfg)
+    assert bool(out.is_valid)
+
+    srv = ModbusTcpServer(host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        # register map like the reference: x, y, distance as float pairs +
+        # validity/count words
+        srv.set_float(0, float(out.x))
+        srv.set_float(2, float(out.y))
+        srv.set_float(4, float(out.distance))
+        srv.set_registers(6, [int(out.point_count), int(bool(out.is_valid))])
+        cli = ModbusTcpClient("127.0.0.1", srv.port)
+        cli.connect()
+        regs = cli.read_registers(0, 8)
+        assert abs(registers_to_float(regs[0], regs[1]) - c_gt[0]) < 0.05
+        assert abs(registers_to_float(regs[2], regs[3]) - c_gt[1]) < 0.05
+        assert regs[7] == 1
+        cli.close()
+    finally:
+        srv.stop()

@@ -297,3 +297,69 @@ def test_lio_bag_cli_end_to_end(tmp_path):
     traj_out = np.loadtxt(out)
     assert traj_out.shape == (4, 12)
     assert np.isfinite(traj_out).all()
+
+
+def test_lio_kitti_cli_on_synthetic_drive(tmp_path):
+    """Build a synthetic KITTI raw drive dir from the simulator and replay it
+    through the lio-kitti CLI (including the OXTS accuracy report path)."""
+    import datetime
+    import subprocess
+    import sys
+
+    from scipy.spatial.transform import Rotation as Rs
+
+    from msst_tpu.utils import sim
+
+    world = sim.World()
+    traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.0)
+    data = sim.make_dataset(world, traj, n_scans=4, scan_dt=0.1,
+                            n_scan=16, horizon=360, seed=21)
+    d = tmp_path / "2011_09_26" / "drive_sync"
+    (d / "velodyne_points" / "data").mkdir(parents=True)
+    (d / "oxts" / "data").mkdir(parents=True)
+
+    def fmt_ts(t):
+        base = datetime.datetime(2011, 9, 26, 12, 0, 0)
+        dt = base + datetime.timedelta(seconds=t)
+        return f"{dt.strftime('%Y-%m-%d %H:%M:%S')}.{dt.microsecond:06d}000"
+
+    velo_ts, oxts_ts = [], []
+    lat0, lon0 = 48.0, 11.0
+    re = 6378137.0
+    for i, s in enumerate(data):
+        pts = np.concatenate([s["xyz"], np.ones((len(s["xyz"]), 1), np.float32)], 1)
+        pts.astype(np.float32).tofile(d / "velodyne_points" / "data" / f"{i:010d}.bin")
+        velo_ts.append(fmt_ts(s["scan_start"]))
+    (d / "velodyne_points" / "timestamps.txt").write_text("\n".join(velo_ts) + "\n")
+
+    # oxts samples at imu rate covering the drive
+    t_all = data[0]["imu_t"].tolist()
+    for s in data[1:]:
+        t_all += [t for t in s["imu_t"] if t > t_all[-1]]
+    k = 0
+    for t in t_all:
+        T = traj.pose(float(t))
+        rpy = Rs.from_matrix(T[:3, :3]).as_euler("xyz")
+        lat = lat0 + T[1, 3] / re * 180 / np.pi
+        lon = lon0 + T[0, 3] / (re * np.cos(np.radians(lat0))) * 180 / np.pi
+        # find sim imu sample for gyro/acc
+        row = [lat, lon, 500.0 + T[2, 3], *rpy] + [0.0] * 5
+        row += [0.0, 0.0, 9.80511, 0.0, 0.0, 0.0]  # ax..au
+        row += [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]      # wx..wu
+        row += [1.0, 1.0, 4.0, 11.0, 0.0, 0.0]
+        np.savetxt(d / "oxts" / "data" / f"{k:010d}.txt", np.asarray(row)[None], fmt="%.9f")
+        oxts_ts.append(fmt_ts(float(t)))
+        k += 1
+    (d / "oxts" / "timestamps.txt").write_text("\n".join(oxts_ts) + "\n")
+
+    out = tmp_path / "traj.txt"
+    r = subprocess.run(
+        [sys.executable, "-m", "msst_tpu.cli", "lio-kitti", str(d),
+         "--rings", "16", "--tiny", "--output", str(out)],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = np.loadtxt(out)
+    assert got.shape == (4, 12)
+    assert "ATE RMSE" in r.stdout

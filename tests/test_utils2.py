@@ -234,3 +234,21 @@ def test_viz_export(tmp_path):
     assert (tmp_path / "global_map.ply").exists()
     head = open(tmp_path / "global_map.ply").readline()
     assert head.strip() == "ply"
+
+
+def test_kitti_eval_metrics():
+    from msst_tpu.utils import kitti_eval as KE
+
+    # straight 1 km drive, 1 m/frame; estimate drifts 1% in x
+    n = 1001
+    gt = np.tile(np.eye(4), (n, 1, 1))
+    gt[:, 0, 3] = np.arange(n, dtype=np.float64)
+    est = gt.copy()
+    est[:, 0, 3] *= 1.01
+    s = KE.kitti_summary(est, gt)
+    assert s["n_segments"] > 100
+    assert abs(s["t_err_pct"] - 1.0) < 0.15
+    assert s["r_err_deg_per_m"] < 1e-6
+    assert KE.ate_rmse(est, gt, align=False) > 0
+    r = KE.rpe(est, gt)
+    assert abs(r["rpe_trans_rmse_m"] - 0.01) < 2e-3
