@@ -147,6 +147,33 @@ class MultiLidarCalibrator:
             combined.append(moved)
         return results
 
+    def save_results(self, directory: str, results, sources,
+                     target_xyz: np.ndarray, names: Optional[Sequence[str]] = None):
+        """Write results.txt + the stitched cloud, like the reference's
+        output stage (``multi_lidar_calibrator.py:430-478``)."""
+        import os
+
+        from ...utils.io_pcd import write_pcd
+
+        os.makedirs(directory, exist_ok=True)
+        lines = []
+        stitched = [np.asarray(target_xyz, np.float32)]
+        for i, (r, s) in enumerate(zip(results, sources)):
+            name = names[i] if names else f"lidar_{i + 1}"
+            T = np.asarray(r.pose.to_matrix())
+            lines.append(f"[{name}]")
+            lines.append(f"fitness: {float(r.fitness):.4f}  rmse: {float(r.rmse):.4f}")
+            lines.append("transformation:")
+            for row in T:
+                lines.append("  " + " ".join(f"{v: .6f}" for v in row))
+            lines.append("")
+            stitched.append(np.asarray(r.pose.apply(
+                jnp.asarray(np.asarray(s, np.float32)))))
+        with open(os.path.join(directory, "results.txt"), "w") as f:
+            f.write("\n".join(lines))
+        write_pcd(os.path.join(directory, "stitched.pcd"),
+                  np.concatenate(stitched))
+
     def fitness_based_calibration(self, clouds: Sequence[np.ndarray],
                                   target_index: int = 0):
         """Greedy best-fitness pairwise merge ordering (:285-380): repeatedly

@@ -252,3 +252,68 @@ def test_kitti_eval_metrics():
     assert KE.ate_rmse(est, gt, align=False) > 0
     r = KE.rpe(est, gt)
     assert abs(r["rpe_trans_rmse_m"] - 0.01) < 2e-3
+
+
+def test_gpstime_rollover():
+    from msst_tpu.utils import gpstime
+
+    hour = 3600.0
+    base = 1_700_000_000.0
+    base -= base % hour  # top of hour
+    # packet at 5 s past the hour, received 6 s past -> same hour
+    assert abs(gpstime.resolve_hour_timestamp(int(5e6), base + 6) - (base + 5)) < 1e-6
+    # packet at 3599 s past the hour, received 1 s past the NEXT hour
+    assert abs(gpstime.resolve_hour_timestamp(int(3599e6), base + hour + 1)
+               - (base + 3599)) < 1e-6
+    # packet at 1 s past the hour, received 3599 s into the PREVIOUS hour
+    assert abs(gpstime.resolve_hour_timestamp(int(1e6), base - 1)
+               - (base + 1)) < 1e-6
+    pkt = bytes(1200) + (12345).to_bytes(4, "little") + bytes(2)
+    assert gpstime.packet_timestamp_us(pkt) == 12345
+
+
+def test_urdf_joint_origin_writer(tmp_path):
+    from msst_tpu.models.calibration.urdf import (modify_urdf_joint_origin,
+                                                  write_calibrated_urdf)
+    from msst_tpu.ops import se3
+
+    urdf = tmp_path / "robot.urdf"
+    urdf.write_text("""<?xml version="1.0"?>
+<robot name="rig">
+  <joint name="lidar_1_joint" type="fixed"><parent link="base"/><child link="l1"/></joint>
+  <joint name="lidar_2_joint" type="fixed">
+    <origin xyz="0 0 0" rpy="0 0 0"/>
+    <parent link="base"/><child link="l2"/>
+  </joint>
+</robot>""")
+    p1 = se3.Pose.from_rpy_xyz(jnp.asarray([0.1, 0.0, 0.5]), jnp.asarray([1.0, 2.0, 0.3]))
+    out = tmp_path / "calibrated.urdf"
+    write_calibrated_urdf(str(urdf), {"lidar_1_joint": p1, "lidar_2_joint": p1}, str(out))
+    import xml.etree.ElementTree as ET
+    root = ET.parse(out).getroot()
+    for name in ("lidar_1_joint", "lidar_2_joint"):
+        j = [x for x in root.iter("joint") if x.get("name") == name][0]
+        o = j.find("origin")
+        xyz = [float(v) for v in o.get("xyz").split()]
+        rpy = [float(v) for v in o.get("rpy").split()]
+        np.testing.assert_allclose(xyz, [1, 2, 0.3], atol=1e-5)
+        np.testing.assert_allclose(rpy, [0.1, 0, 0.5], atol=1e-5)
+
+
+def test_multi_lica_save_results(tmp_path):
+    from msst_tpu.models.calibration.multi_lica import (MultiLicaConfig,
+                                                        MultiLidarCalibrator)
+    from msst_tpu.utils.io_pcd import read_pcd
+    from tests.test_calibration import scene, view_from
+
+    world = scene(2000)
+    tgt = view_from(world, [0, 0, 0], np.array([0, 0, 1.5]))
+    src = view_from(world, [0, 0, 0.3], np.array([1.0, 0.5, 1.5]))
+    cal = MultiLidarCalibrator(MultiLicaConfig(capacity=4096, knn_table=4096,
+                                               max_corr=256))
+    res = cal.standard_calibration(tgt, [src])
+    cal.save_results(str(tmp_path), res, [src], tgt)
+    txt = (tmp_path / "results.txt").read_text()
+    assert "transformation:" in txt and "fitness:" in txt
+    st = read_pcd(str(tmp_path / "stitched.pcd"))
+    assert len(st["xyz"]) == 2 * len(world)
