@@ -126,7 +126,7 @@ def _assemble_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
     in_radius = d2 < p.surrounding_keyframe_search_radius**2
     eligible = kmask & (in_radius | recent)
     eff = jnp.where(eligible, jnp.where(recent, 0.0, d2), jnp.inf)
-    neg, sel_idx = jax.lax.top_k(-eff, p.near_keyframes)
+    neg, sel_idx = jax.lax.top_k(-eff, min(p.near_keyframes, K))
     sel_ok = jnp.isfinite(-neg)
 
     def gather(cloud_xyz, cloud_mask, cap, leaf):
@@ -331,6 +331,7 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
                 corner_ds.xyz, corner_ds.mask, surf_ds.xyz, surf_ds.mask,
                 lm.corner_vox, lm.surf_vox,
                 init6, max_iters=p.scan2map_max_iters,
+                eig_threshold=p.degeneracy_threshold,
             )
         else:
             res = registration.scan_to_map(
@@ -338,6 +339,7 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
                 lm.corner_grid, lm.corner_xyz, lm.surf_grid, lm.surf_xyz,
                 init6, max_iters=p.scan2map_max_iters,
                 candidates_per_cell=p.knn_candidates,
+                eig_threshold=p.degeneracy_threshold,
             )
         return res.pose, res.degenerate, res.iterations
 
@@ -365,7 +367,11 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
     dist = jnp.linalg.norm(d.t)
     small = jnp.all(drpy < p.surrounding_keyframe_adding_angle_threshold) & (
         dist < p.surrounding_keyframe_adding_dist_threshold)
-    is_kf = (state.kf.count == 0) | ~small
+    # at capacity, STOP inserting (overwriting the last slot would corrupt the
+    # map); odometry keeps running against the frozen map.  The reference
+    # grows unboundedly — size max_keyframes for the mission length.
+    has_room = state.kf.count < p.max_keyframes
+    is_kf = ((state.kf.count == 0) | ~small) & has_room
 
     state2 = jax.lax.cond(
         is_kf,

@@ -56,6 +56,7 @@ class LioParams:
     surrounding_keyframe_search_radius: float = 50.0
     scan2map_max_iters: int = 30
     scan2map_method: str = "voxel"   # "voxel" (VoxelMap-style, fast) | "knn" (reference-style 5-NN)
+    degeneracy_threshold: float = 100.0  # JtJ eigenvalue gate (LMOptimization :1244); scales with matched-point count
     vox_corner_leaf: float = 1.0
     vox_surf_leaf: float = 1.0
     vox_corner_cap: int = 8192
@@ -124,6 +125,7 @@ def tiny_params(**overrides) -> LioParams:
         near_keyframes=8, map_corner_cap=2048, map_surf_cap=8192,
         loop_submap_cap=4096, loop_leaf_size=0.8, max_gps_factors=16, max_loop_factors=16,
         knn_table_size=4096, scan2map_max_iters=10,
+        degeneracy_threshold=30.0,  # caps are ~4x smaller, eigenvalues scale with them
     )
     base.update(overrides)
     return LioParams(**base)

@@ -80,7 +80,7 @@ def _coord_key(c: Array) -> Array:
 
 
 def build(xyz: Array, mask: Array, leaf: float, capacity: int,
-          kind: str, table_size: int = 8192, min_points: int = 4,
+          kind: str, table_size: int = 8192, min_points: int = 3,
           line_ratio: float = 3.0, plane_thickness: float = 0.1,
           origin: Array | None = None) -> VoxelFeatureMap:
     """Voxelize + fit per-voxel features.

@@ -164,3 +164,43 @@ def test_multi_lidar_fusion_into_lio():
     est = lio.trajectory.as_matrices()[:, :3, 3]
     err = np.linalg.norm(est - gt, axis=1)
     assert err.max() < 0.6, err
+
+
+def test_long_run_bounded_drift():
+    """Regression for the long-run divergence class: sparse-scan voxels must
+    still form valid planes (min_points), the degeneracy gate must scale with
+    the point caps, and keyframe-capacity saturation must not corrupt the
+    map."""
+    world = sim.World()
+    traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.5)
+    data = sim.make_dataset(world, traj, n_scans=100, scan_dt=0.1,
+                            n_scan=16, horizon=360, seed=42)
+    lio = LioSam(tiny_params(loop_closure_enabled=False, max_keyframes=128))
+    for s in data:
+        lio.process_scan(s["xyz"], s["ring"], s["time_rel"], s["scan_start"],
+                         imu_t=s["imu_t"], imu_gyro=s["imu_gyro"],
+                         imu_acc=s["imu_acc"], imu_rpy=s["imu_rpy"])
+    gt0 = data[0]["gt_pose"][:3, 3]
+    gt = np.stack([s["gt_pose"][:3, 3] - gt0 for s in data])
+    est = lio.trajectory.as_matrices()[:, :3, 3]
+    err = np.linalg.norm(est - gt, axis=1)
+    # ~25 m path; keep worst-case drift under 40 cm (<2%)
+    assert err.max() < 0.4, err.max()
+    v = np.linalg.norm(np.asarray(lio.state.filter.nav.v))
+    assert abs(v - 2.5) < 0.8
+
+
+def test_keyframe_capacity_saturation_stops_inserting():
+    world = sim.World()
+    traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.5)
+    data = sim.make_dataset(world, traj, n_scans=40, scan_dt=0.1,
+                            n_scan=16, horizon=360, seed=1)
+    p = tiny_params(loop_closure_enabled=False, max_keyframes=4)
+    lio = LioSam(p)
+    for s in data:
+        out = lio.process_scan(s["xyz"], s["ring"], s["time_rel"], s["scan_start"],
+                               imu_t=s["imu_t"], imu_gyro=s["imu_gyro"],
+                               imu_acc=s["imu_acc"], imu_rpy=s["imu_rpy"])
+    assert int(lio.state.kf.count) == 4  # saturated, not overwritten
+    # odometry keeps producing finite poses against the frozen map
+    assert np.isfinite(lio.trajectory.as_matrices()).all()
