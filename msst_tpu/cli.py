@@ -8,6 +8,8 @@
     msst manual-calib TARGET.pcd SRC.pcd                 interactive nudging
     msst allan CSV      [--rate HZ]                      IMU Allan calibration
     msst decode-pcap IN.pcap OUT.pcd                     packet decode
+    msst heading PCD [PCD ...]                           attitude + wall distances
+    msst track PCD [PCD ...] [--serve-modbus PORT]       reflective-target tracking
 """
 
 from __future__ import annotations
@@ -212,6 +214,81 @@ def cmd_decode_pcap(args):
     print(f"{n} packets, {len(xyz)} points -> {args.output}")
 
 
+def cmd_heading(args):
+    import jax
+    import jax.numpy as jnp
+
+    from msst_tpu.models.heading import HeadingConfig, HeadingState, heading_step
+    from msst_tpu.utils.io_pcd import read_pcd
+
+    cfg = HeadingConfig(max_points=args.max_points)
+    st = HeadingState.create()
+    for i, path in enumerate(args.clouds):
+        xyz = read_pcd(path)["xyz"]
+        n = min(len(xyz), cfg.max_points)
+        pts = np.zeros((cfg.max_points, 3), np.float32)
+        pts[:n] = xyz[:n]
+        mask = np.arange(cfg.max_points) < n
+        st, res = heading_step(st, jnp.asarray(pts), jnp.asarray(mask),
+                               jnp.asarray(0.1 * (i + 1)), jax.random.PRNGKey(i), cfg)
+        d = np.asarray(res.distances)
+        print(json.dumps({
+            "frame": i, "roll_deg": round(float(res.roll), 3),
+            "pitch_deg": round(float(res.pitch), 3),
+            "yaw_deg": round(float(res.yaw), 3),
+            "distances_LF_LB_RF_RB": [round(float(x), 3) for x in d],
+            "confidence": int(res.confidence),
+        }))
+
+
+def cmd_track(args):
+    import jax
+    import jax.numpy as jnp
+
+    from msst_tpu.models.target_tracker import (TargetConfig, TrackerState,
+                                                track_step)
+    from msst_tpu.utils.io_pcd import read_pcd
+
+    cfg = TargetConfig(max_points=args.max_points)
+    st = TrackerState.create()
+    srv = None
+    if args.serve_modbus:
+        from msst_tpu.utils.modbus import ModbusTcpServer
+        srv = ModbusTcpServer(host="0.0.0.0", port=args.serve_modbus)
+        srv.start()
+        print(f"modbus server on :{srv.port}", file=sys.stderr)
+    try:
+        for i, path in enumerate(args.clouds):
+            pcd = read_pcd(path)
+            xyz = pcd["xyz"]
+            inten = pcd["fields"].get("intensity", np.zeros(len(xyz)))
+            n = min(len(xyz), cfg.max_points)
+            pts = np.zeros((cfg.max_points, 3), np.float32)
+            pts[:n] = xyz[:n]
+            iv = np.zeros(cfg.max_points, np.float32)
+            iv[:n] = inten[:n]
+            mask = np.arange(cfg.max_points) < n
+            st, out = track_step(st, jnp.asarray(pts), jnp.asarray(iv),
+                                 jnp.asarray(mask), jnp.asarray(0.1 * (i + 1)),
+                                 jax.random.PRNGKey(i), cfg)
+            rec = {"frame": i, "valid": bool(out.is_valid),
+                   "x": round(float(out.x), 4), "y": round(float(out.y), 4),
+                   "distance": round(float(out.distance), 4),
+                   "points": int(out.point_count),
+                   "track": [round(float(out.track_x), 4),
+                             round(float(out.track_y), 4)]}
+            print(json.dumps(rec))
+            if srv is not None:
+                # register map like the reference's bank (node.cpp:151-158)
+                srv.set_float(0, float(out.x))
+                srv.set_float(2, float(out.y))
+                srv.set_float(4, float(out.distance))
+                srv.set_registers(6, [int(out.point_count), int(bool(out.is_valid))])
+    finally:
+        if srv is not None and not args.keep_serving:
+            srv.stop()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="msst", description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -263,6 +340,18 @@ def main(argv=None):
     s.add_argument("--name", default="imu")
     s.add_argument("--output", default="imu_noise.yaml")
     s.set_defaults(fn=cmd_allan)
+
+    s = sub.add_parser("heading")
+    s.add_argument("clouds", nargs="+")
+    s.add_argument("--max-points", type=int, default=16384)
+    s.set_defaults(fn=cmd_heading)
+
+    s = sub.add_parser("track")
+    s.add_argument("clouds", nargs="+")
+    s.add_argument("--max-points", type=int, default=1024)
+    s.add_argument("--serve-modbus", type=int, default=0)
+    s.add_argument("--keep-serving", action="store_true")
+    s.set_defaults(fn=cmd_track)
 
     s = sub.add_parser("decode-pcap")
     s.add_argument("pcap")

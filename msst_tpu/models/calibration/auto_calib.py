@@ -99,7 +99,9 @@ def auto_calibrate(m_xyz: Array, m_mask: Array, s_xyz: Array, s_mask: Array,
 
     def yaw_cost(yaws):
         """Summed capped-NN distance of slave points rotated by each yaw about
-        the (master) ground normal."""
+        the (master) ground normal.  Evaluated with lax.map, NOT vmap: the
+        vmapped kNN gather materializes (n_yaws, N, 27*C, 3), which TPU lane
+        padding inflates to ~70 GB at realistic sizes."""
         def one(yaw):
             q = se3.so3_exp_quat(nm * yaw)
             moved = se3.quat_rotate(q, s_lev)
@@ -109,7 +111,7 @@ def auto_calibrate(m_xyz: Array, m_mask: Array, s_xyz: Array, s_mask: Array,
             d = jnp.where(res.valid[:, 0], jnp.sqrt(res.sqdist[:, 0]), 2.0)
             return jnp.sum(jnp.where(s_ng, d, 0.0))
 
-        return jax.vmap(one)(yaws)
+        return jax.lax.map(one, yaws)
 
     coarse = jnp.linspace(-jnp.pi, jnp.pi, cfg.yaw_coarse_bins, endpoint=False)
     cc = yaw_cost(coarse)

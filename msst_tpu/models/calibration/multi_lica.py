@@ -61,35 +61,47 @@ class PairResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def calibrate_pair(src_xyz, src_mask, tgt_xyz, tgt_mask, cfg: MultiLicaConfig,
-                   init: Optional[se3.Pose] = None) -> PairResult:
-    """Full coarse+fine calibration of one source cloud to a target cloud."""
-    def prep(xyz, mask):
-        cl = Cloud.create(xyz, mask=mask)
-        from ...ops.pointcloud import crop_box
-        cl = crop_box(cl, jnp.asarray(cfg.crop_lo), jnp.asarray(cfg.crop_hi))
-        cl = voxel_downsample(cl, cfg.voxel_size, capacity=cfg.capacity)
-        grid = knn.build(cl.xyz, cl.mask, cell_size=4 * cfg.voxel_size,
-                         table_size=cfg.knn_table)
-        feat = fpfh(cl.xyz, cl.mask, grid, k=cfg.fpfh_k)
-        return cl, grid, feat
+def _prep_stage(xyz, mask, cfg: MultiLicaConfig):
+    cl = Cloud.create(xyz, mask=mask)
+    from ...ops.pointcloud import crop_box
+    cl = crop_box(cl, jnp.asarray(cfg.crop_lo), jnp.asarray(cfg.crop_hi))
+    cl = voxel_downsample(cl, cfg.voxel_size, capacity=cfg.capacity)
+    grid = knn.build(cl.xyz, cl.mask, cell_size=4 * cfg.voxel_size,
+                     table_size=cfg.knn_table)
+    feat = fpfh(cl.xyz, cl.mask, grid, k=cfg.fpfh_k)
+    cov = registration.point_covariances(cl.xyz, cl.mask, grid, k=cfg.fpfh_k)
+    return cl, grid, feat, cov
 
-    s_cl, s_grid, s_feat = prep(src_xyz, src_mask)
-    t_cl, t_grid, t_feat = prep(tgt_xyz, tgt_mask)
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _coarse_stage(s_cl, t_cl, s_feat, t_feat, cfg: MultiLicaConfig):
     ia, ib, cval = mutual_correspondences(s_feat, s_cl.mask, t_feat, t_cl.mask,
                                           cfg.max_corr)
-    co = coarse_mod.gnc_tls_registration(
+    return coarse_mod.gnc_tls_registration(
         s_cl.xyz[ia], t_cl.xyz[ib], cval, noise_bound=cfg.gnc_noise_bound)
-    init_pose = co.pose if init is None else init
 
-    s_cov = registration.point_covariances(s_cl.xyz, s_cl.mask, s_grid,
-                                           k=cfg.fpfh_k)
-    t_cov = registration.point_covariances(t_cl.xyz, t_cl.mask, t_grid,
-                                           k=cfg.fpfh_k)
-    fine = registration.gicp(
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _fine_stage(s_cl, s_cov, t_grid, t_cl, t_cov, init_pose,
+                cfg: MultiLicaConfig):
+    return registration.gicp(
         s_cl.xyz, s_cl.mask, s_cov, t_grid, t_cl.xyz, t_cov, init_pose,
         max_iters=cfg.gicp_max_iters, max_corr_dist=cfg.gicp_max_corr_dist)
+
+
+def calibrate_pair(src_xyz, src_mask, tgt_xyz, tgt_mask, cfg: MultiLicaConfig,
+                   init: Optional[se3.Pose] = None) -> PairResult:
+    """Full coarse+fine calibration of one source cloud to a target cloud.
+
+    Runs as FOUR jitted stages rather than one fused program: fusing the whole
+    pipeline tempts XLA's rematerializer into a ~70 GB intermediate on TPU
+    (observed at capacity 8192); staged compilation is also ~4x faster and
+    this path is offline."""
+    s_cl, s_grid, s_feat, s_cov = _prep_stage(src_xyz, src_mask, cfg)
+    t_cl, t_grid, t_feat, t_cov = _prep_stage(tgt_xyz, tgt_mask, cfg)
+    co = _coarse_stage(s_cl, t_cl, s_feat, t_feat, cfg)
+    init_pose = co.pose if init is None else init
+    fine = _fine_stage(s_cl, s_cov, t_grid, t_cl, t_cov, init_pose, cfg)
     return PairResult(fine.pose, fine.matched_frac, fine.fitness, co.n_inliers)
 
 

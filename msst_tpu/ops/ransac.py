@@ -193,14 +193,22 @@ def ransac_circle(
 
 def fit_circle_algebraic(xy: Array, mask: Array) -> CircleFit:
     """Least-squares (Kasa) circle fit: solve [2x 2y 1] p = x^2+y^2
-    (``target_detector.cpp:538-603``)."""
+    (``target_detector.cpp:538-603``).
+
+    Points are centered on their centroid before the solve: the raw normal
+    equations are catastrophically ill-conditioned in float32 for a small
+    circle far from the origin (the constant column is nearly collinear with
+    x and y), which produced wrong fits on TPU."""
     w = mask.astype(xy.dtype)
-    M = jnp.stack([2 * xy[:, 0], 2 * xy[:, 1], jnp.ones_like(xy[:, 0])], axis=1) * w[:, None]
-    b = (xy[:, 0] ** 2 + xy[:, 1] ** 2) * w
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    mu = jnp.sum(xy * w[:, None], axis=0) / wsum
+    q = xy - mu
+    M = jnp.stack([2 * q[:, 0], 2 * q[:, 1], jnp.ones_like(q[:, 0])], axis=1) * w[:, None]
+    b = (q[:, 0] ** 2 + q[:, 1] ** 2) * w
     MtM = M.T @ M + 1e-9 * jnp.eye(3)
     p = jnp.linalg.solve(MtM, M.T @ b)
-    center = p[:2]
-    r2 = p[2] + jnp.sum(center * center)
+    center = p[:2] + mu
+    r2 = p[2] + jnp.sum(p[:2] * p[:2])
     radius = jnp.sqrt(jnp.maximum(r2, 0.0))
     d = jnp.abs(jnp.linalg.norm(xy - center, axis=1) - radius)
     cnt = jnp.sum(mask)
