@@ -67,6 +67,11 @@ class LioSam:
         self._trajectory = Trajectory([], [])
         self._scan_count = 0
         self._last_scan_time = None
+        # all device-side times are float32; absolute unix-epoch stamps
+        # (~1.7e9 s, float32 ULP 128 s) would collapse every dt to zero, so
+        # every time is rebased to the first received stamp (held in float64
+        # host-side) before casting — see ADVICE.md r1 (high)
+        self._epoch: Optional[float] = None
         self._loop_every = max(
             1, int(round(1.0 / max(self.p.loop_closure_frequency, 1e-3) * 10))
         )  # scans between loop attempts, assuming ~10 Hz scans
@@ -95,10 +100,14 @@ class LioSam:
         points[:n, 4] = np.asarray(ring, np.float32)[:n]
 
         if imu_t is None or len(imu_t) == 0:
-            imu_t = np.zeros(0, np.float32)
+            imu_t = np.zeros(0, np.float64)
             imu_gyro = np.zeros((0, 3), np.float32)
             imu_acc = np.zeros((0, 3), np.float32)
-        imu_t = np.asarray(imu_t, np.float32)
+        # selection + rebasing in float64; only offsets are cast to float32
+        scan_start = float(scan_start)
+        if self._epoch is None:
+            self._epoch = scan_start
+        imu_t = np.asarray(imu_t, np.float64)
         imu_gyro = np.asarray(imu_gyro, np.float32)
         imu_acc = np.asarray(imu_acc, np.float32)
 
@@ -111,7 +120,7 @@ class LioSam:
 
         def fill(rows, sel):
             k = min(int(sel.sum()), T)
-            aux[rows:rows + k, 0] = imu_t[sel][:k]
+            aux[rows:rows + k, 0] = (imu_t[sel][:k] - self._epoch).astype(np.float32)
             aux[rows:rows + k, 1:4] = imu_gyro[sel][:k]
             aux[rows:rows + k, 4:7] = imu_acc[sel][:k]
             aux[rows:rows + k, 7] = 1.0
@@ -120,7 +129,7 @@ class LioSam:
         k_scan = fill(0, in_scan)
         fill(T, in_pre)
         misc = aux[2 * T]
-        misc[0] = scan_start
+        misc[0] = scan_start - self._epoch
         misc[1] = n
         misc[2] = 1.0 if k_scan > 1 else 0.0
         if imu_rpy is not None:
@@ -142,7 +151,7 @@ class LioSam:
         points, aux = self._make_input(xyz, ring, time_rel, scan_start, **sensors)
         new_state, out = odometry_step_packed(self.state, points, aux, self.p)
         self.state = new_state
-        self._last_scan_time = scan_start
+        self._last_scan_time = float(scan_start)
         self._scan_count += 1
         self._pending.append((scan_start, out.pose_matrix))
 
@@ -191,15 +200,26 @@ class LioSam:
         self._flush_pending()
         kf = self.state.kf
         n = int(kf.count)
+        if n == 0 or not self._trajectory.times:
+            return
         poses6 = np.asarray(kf.pose6[:n])
-        times = np.asarray(kf.time[:n])
-        # map keyframe times onto trajectory entries
-        tmap = {round(float(t), 6): i for i, t in enumerate(self._trajectory.times)}
-        for t, v6 in zip(times, poses6):
-            i = tmap.get(round(float(t), 6))
-            if i is not None:
-                self._trajectory.poses[i] = np.asarray(
-                    se3.Pose.from_vec6(jnp.asarray(v6)).to_matrix())
+        # keyframe times are float32 session-relative offsets; trajectory
+        # times are absolute float64 — compare in the absolute frame with a
+        # nearest-match tolerance (exact float keys silently miss, ADVICE r1)
+        epoch = self._epoch or 0.0
+        times = np.asarray(kf.time[:n], np.float64) + epoch
+        traj_t = np.asarray(self._trajectory.times, np.float64)
+        order = np.argsort(traj_t, kind="stable")
+        sorted_t = traj_t[order]
+        hi = np.searchsorted(sorted_t, times)
+        mats = np.asarray(se3.Pose.from_vec6(jnp.asarray(poses6)).to_matrix())
+        for t, m, j in zip(times, mats, hi):
+            best, best_dt = -1, 0.02  # half a 10 Hz scan period
+            for k in (j - 1, j):
+                if 0 <= k < len(sorted_t) and abs(sorted_t[k] - t) < best_dt:
+                    best, best_dt = int(order[k]), abs(sorted_t[k] - t)
+            if best >= 0:
+                self._trajectory.poses[best] = m
 
     def flush(self):
         """Drain pending device results into the host trajectory."""
@@ -214,7 +234,8 @@ class LioSam:
         resolution request field)."""
         kf = self.state.kf
         n = int(kf.count)
-        out = {"trajectory": np.asarray(kf.pose6[:n]), "times": np.asarray(kf.time[:n])}
+        out = {"trajectory": np.asarray(kf.pose6[:n]),
+               "times": np.asarray(kf.time[:n], np.float64) + (self._epoch or 0.0)}
         poses = se3.Pose.from_vec6(jnp.asarray(np.asarray(kf.pose6[:n])))
         corner = np.asarray(poses.apply(jnp.asarray(np.asarray(kf.corner_xyz[:n]))))
         surf = np.asarray(poses.apply(jnp.asarray(np.asarray(kf.surf_xyz[:n]))))
@@ -253,7 +274,9 @@ class LioSam:
 
         fs = self.state.filter
         T = self.p.imu_window
-        t = np.asarray(imu_t, np.float32)[-T:]
+        t = np.asarray(imu_t, np.float64)[-T:]
+        t = (t - (self._epoch if self._epoch is not None else t[0] if len(t) else 0.0)
+             ).astype(np.float32)
         g = np.asarray(imu_gyro, np.float32)[-T:]
         a = np.asarray(imu_acc, np.float32)[-T:]
         k = len(t)

@@ -119,7 +119,9 @@ class KittiRawDrive:
                 sel = (t_imu >= t0 - imu_window) & (t_imu <= t0 + 0.15)
                 k0 = int(np.searchsorted(t_imu, t0))
                 s.update(
-                    imu_t=t_imu[sel].astype(np.float32),
+                    # times stay float64: absolute stamps in float32 collapse
+                    # dt to zero (LioSam rebases to its session epoch)
+                    imu_t=t_imu[sel],
                     imu_gyro=gyro[sel].astype(np.float32),
                     imu_acc=acc[sel].astype(np.float32),
                     imu_rpy=rpy[min(k0, len(rpy) - 1)].astype(np.float32),

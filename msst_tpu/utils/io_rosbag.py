@@ -205,7 +205,7 @@ def iter_lio_inputs(path: str, cloud_topic: str, imu_topic: str):
             yield dict(
                 xyz=xyz, ring=ring, time_rel=trel, scan_start=m["stamp"],
                 intensity=m.get("intensity"),
-                imu_t=t_arr[sel].astype(np.float32) if sel.any() else np.zeros(0, np.float32),
+                imu_t=t_arr[sel] if sel.any() else np.zeros(0, np.float64),
                 imu_gyro=np.asarray(imu_g)[sel].astype(np.float32) if sel.any() else np.zeros((0, 3), np.float32),
                 imu_acc=np.asarray(imu_a)[sel].astype(np.float32) if sel.any() else np.zeros((0, 3), np.float32),
                 imu_rpy=rpy,

@@ -204,3 +204,64 @@ def test_keyframe_capacity_saturation_stops_inserting():
     assert int(lio.state.kf.count) == 4  # saturated, not overwritten
     # odometry keeps producing finite poses against the frozen map
     assert np.isfinite(lio.trajectory.as_matrices()).all()
+
+
+def test_unix_epoch_timestamps_match_t0_run(dataset):
+    """Absolute unix-epoch stamps (~1.7e9 s) must produce the same trajectory
+    as a t=0 run: LioSam rebases all times to its session epoch before the
+    float32 device cast (float32 ULP at 1.7e9 s is 128 s — without rebasing,
+    IMU dt collapses to 0 and deskew/preintegration silently die)."""
+    epoch = 1.7e9
+    shifted = []
+    for s in dataset:
+        s2 = dict(s)
+        s2["scan_start"] = s["scan_start"] + epoch
+        s2["imu_t"] = np.asarray(s["imu_t"], np.float64) + epoch
+        shifted.append(s2)
+    lio0, outs0 = run_pipeline(dataset)
+    lio1, outs1 = run_pipeline(shifted)
+    est0 = lio0.trajectory.as_matrices()[:, :3, 3]
+    est1 = lio1.trajectory.as_matrices()[:, :3, 3]
+    assert len(est0) == len(est1)
+    # float64 subtraction residue (~2.4e-7 s per IMU stamp) perturbs GN
+    # iteration counts, so runs agree to cm-scale, not bit-exactly; without
+    # rebasing the shifted run diverges by meters (dt=0 kills the filter)
+    np.testing.assert_allclose(est1, est0, atol=0.1)
+    gt = np.stack([s["gt_pose"][:3, 3] for s in dataset])
+    err = np.linalg.norm(est1 + gt[0] - gt, axis=1)
+    assert err.max() < 0.5, err.max()
+    assert lio1.trajectory.ate_rmse(gt) < 0.2
+    # the filter must actually have propagated (velocity nonzero) in both
+    assert abs(np.linalg.norm(np.asarray(outs1[-1].velocity)) - 2.0) < 0.6
+
+
+def test_resync_trajectory_matches_float32_keyframe_times():
+    """_resync_trajectory must match float32 session-relative keyframe times
+    to float64 absolute trajectory stamps by nearest-neighbor (exact-key
+    matching silently missed for any stamp beyond ~4 s — ADVICE r1)."""
+    import jax.numpy as jnp
+
+    from msst_tpu.ops import se3
+
+    p = tiny_params(loop_closure_enabled=False)
+    lio = LioSam(p)
+    epoch = 1.7e9
+    lio._epoch = epoch
+    # 10 Hz trajectory at absolute stamps
+    lio._trajectory.times = [epoch + 0.1 * i for i in range(20)]
+    lio._trajectory.poses = [np.eye(4) for _ in range(20)]
+    # two keyframes at rel times 0.5 and 1.5 (float32), with distinct poses
+    kf = lio.state.kf
+    pose6 = np.zeros((kf.pose6.shape[0], 6), np.float32)
+    pose6[0, 3] = 11.0
+    pose6[1, 3] = 22.0
+    times = np.zeros(kf.time.shape[0], np.float32)
+    times[0], times[1] = 0.5, 1.5
+    lio.state = lio.state._replace(kf=kf._replace(
+        pose6=jnp.asarray(pose6), time=jnp.asarray(times),
+        count=jnp.asarray(2, jnp.int32)))
+    lio._resync_trajectory()
+    assert lio._trajectory.poses[5][0, 3] == 11.0
+    assert lio._trajectory.poses[15][0, 3] == 22.0
+    # untouched entries stay identity
+    assert lio._trajectory.poses[4][0, 3] == 0.0
