@@ -88,14 +88,19 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
     kind: "plane" (surf map) or "line" (corner map).
     plane_thickness: max sqrt(lambda_min) for a valid plane — the analogue of
     the reference's 0.2 m plane-fit validity check.
-    origin: when given, voxel grouping uses one packed int32 sort key over a
-    +-512-cell domain around it (4x cheaper than the lexsort; points outside
-    the domain are dropped — local maps always fit).
+    origin: when given, the voxel grid is anchored at `origin` and grouping
+    uses one packed int32 sort key over a +-512-cell domain around it (4x
+    cheaper than the lexsort; points outside the domain are dropped — local
+    maps always fit).  The SAME origin-relative grid is used for the sort,
+    the segmentation, and the coord keys (a mixed absolute/relative grid
+    fragments each cell into duplicate entries — ADVICE r1).
     """
     leaf_f = jnp.asarray(leaf, jnp.float32)
-    c = jnp.floor(xyz / leaf_f).astype(jnp.int32)
+    origin_f = (jnp.zeros(3, jnp.float32) if origin is None
+                else jnp.asarray(origin, jnp.float32))
+    c = jnp.floor((xyz - origin_f) / leaf_f).astype(jnp.int32)
     if origin is not None:
-        rel = jnp.floor((xyz - origin) / leaf_f).astype(jnp.int32) + 512
+        rel = c + 512
         in_range = jnp.all((rel >= 0) & (rel < 1024), axis=1)
         mask = mask & in_range
         key = (rel[:, 0] << 20) | (rel[:, 1] << 10) | rel[:, 2]
@@ -164,11 +169,9 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
     cnt_p = perm(cnt)
     valid_p = perm(valid)
     mask_p = perm(occupied)
-    # coord keys are packed RELATIVE to origin (or absolute when origin=None,
+    # coords are already origin-relative (or absolute when origin=None,
     # valid while |coords| < 512 cells)
-    rel = coords_p if origin is None else (
-        coords_p - jnp.floor(origin / leaf_f).astype(jnp.int32))
-    key_bits = jax.lax.bitcast_convert_type(_coord_key(rel), jnp.float32)
+    key_bits = jax.lax.bitcast_convert_type(_coord_key(coords_p), jnp.float32)
     stats = jnp.concatenate([
         key_bits[:, None], mean_p, dir_p, d_p[:, None],
         valid_p.astype(jnp.float32)[:, None],
@@ -182,7 +185,7 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
         bucket_start=starts.astype(jnp.int32),
         bucket_count=(ends - starts).astype(jnp.int32),
         leaf=leaf_f,
-        origin=jnp.zeros(3, jnp.float32) if origin is None else jnp.asarray(origin, jnp.float32),
+        origin=origin_f,
     )
 
 
@@ -201,7 +204,7 @@ def lookup(vmap: VoxelFeatureMap, q_xyz: Array, q_mask: Array,
     buckets by packed-coordinate-key match against ONE wide stats gather,
     choose the valid voxel with the nearest mean."""
     C = candidates_per_bucket
-    g = q_xyz / vmap.leaf
+    g = (q_xyz - vmap.origin) / vmap.leaf               # same grid as build()
     base = jnp.floor(g).astype(jnp.int32)               # (Q, 3)
     frac = g - base
     step = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)  # octant direction
@@ -223,8 +226,7 @@ def lookup(vmap: VoxelFeatureMap, q_xyz: Array, q_mask: Array,
     cand_f = cand.reshape(Qn, -1)
     rows = vmap.stats[cand_f]                           # (Q, 8C, 12) ONE gather
     keys = jax.lax.bitcast_convert_type(rows[..., 0], jnp.int32)
-    rel_cells = cells - jnp.floor(vmap.origin / vmap.leaf).astype(jnp.int32)
-    expect = _coord_key(rel_cells)                      # (Q, 8)
+    expect = _coord_key(cells)                          # (Q, 8)
     expect_f = jnp.repeat(expect, C, axis=1)            # (Q, 8C)
     match = (keys == expect_f) & ok.reshape(Qn, -1) & (rows[..., 8] > 0.5)
 

@@ -94,3 +94,34 @@ def test_voxel_downsample_packed_drops_out_of_range():
     cloud = Cloud.create(jnp.asarray(xyz))
     out = voxel.voxel_downsample_packed(cloud, 1.0, jnp.zeros(3), capacity=8)
     assert int(out.count) == 1
+
+
+def test_voxelmap_origin_grid_no_fragmentation():
+    """build(origin=...) must sort, segment, and key on ONE grid: a
+    non-leaf-multiple origin previously interleaved absolute cells in the
+    sort and fragmented them into duplicate voxel entries (ADVICE r1)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from msst_tpu.ops import voxelmap
+
+    rng = np.random.default_rng(0)
+    leaf = 0.4
+    origin = np.array([1.17, -2.31, 0.55], np.float32)  # frac(origin/leaf)!=0
+    pts = (origin + rng.uniform(-5, 5, size=(600, 3))).astype(np.float32)
+    m = voxelmap.build(jnp.asarray(pts), jnp.ones(len(pts), bool), leaf,
+                       capacity=2048, kind="plane", table_size=4096,
+                       min_points=1, origin=jnp.asarray(origin))
+    occ = np.asarray(m.mask)
+    coords = np.asarray(m.coords)[occ]
+    # every occupied voxel coord appears exactly once
+    uniq = np.unique(coords, axis=0)
+    assert len(uniq) == len(coords), (len(uniq), len(coords))
+    # counts match a NumPy oracle on the same origin-relative grid
+    oracle_c = np.floor((pts - origin) / leaf).astype(np.int64)
+    _, oracle_counts = np.unique(oracle_c, axis=0, return_counts=True)
+    counts = np.sort(np.asarray(m.count)[occ].astype(np.int64))
+    np.testing.assert_array_equal(counts, np.sort(oracle_counts))
+    # lookup finds the containing voxel for every member point
+    hit = voxelmap.lookup(m, jnp.asarray(pts), jnp.ones(len(pts), bool))
+    assert bool(np.asarray(hit.found).all())
