@@ -38,33 +38,36 @@ def main():
 
     world = sim.World()
     traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.0)
-    n_warm, n_bench = 6, 20
+    window = 8
+    n_warm, n_bench = 8, 40
     data = sim.make_dataset(world, traj, n_scans=n_warm + n_bench, scan_dt=0.1,
                             n_scan=n_scan, horizon=horizon, seed=7)
 
-    lio = LioSam(p)
+    lio = LioSam(p, window=window)
 
-    def feed(s):
-        return lio.process_scan(
-            s["xyz"], s["ring"], s["time_rel"], s["scan_start"],
-            imu_t=s["imu_t"], imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
-            imu_rpy=s["imu_rpy"],
-        )
+    def feed(batch):
+        return lio.process_window([
+            dict(xyz=s["xyz"], ring=s["ring"], time_rel=s["time_rel"],
+                 scan_start=s["scan_start"], imu_t=s["imu_t"],
+                 imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
+                 imu_rpy=s["imu_rpy"])
+            for s in batch
+        ])
 
-    for s in data[:n_warm]:
-        out = feed(s)
+    for i in range(0, n_warm, window):
+        outs = feed(data[i:i + window])
     import jax
-    jax.block_until_ready(out.pose6)
+    jax.block_until_ready(outs.pose6)
 
     iters = []
     t0 = time.perf_counter()
-    for s in data[n_warm:]:
-        out = feed(s)
-        iters.append(out.s2m_iterations)
-    jax.block_until_ready(out.pose6)
+    for i in range(n_warm, n_warm + n_bench, window):
+        outs = feed(data[i:i + window])
+        iters.append(outs.s2m_iterations)
+    jax.block_until_ready(outs.pose6)
     wall = time.perf_counter() - t0
     lio.flush()
-    iters = [int(i) for i in iters]
+    iters = [int(i) for i in np.concatenate([np.asarray(x) for x in iters])]
 
     scans_per_sec = n_bench / wall
     gt0 = data[0]["gt_pose"][:3, 3]
@@ -83,6 +86,7 @@ def main():
             "max_s2m_iters": max(iters) if iters else 0,
             "max_traj_err_m": round(err, 4),
             "scan_size": f"{n_scan}x{horizon}",
+            "window": window,
             "backend": jax.devices()[0].platform,
         },
     }

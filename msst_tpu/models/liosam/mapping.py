@@ -109,6 +109,53 @@ def odometry_step_packed(state: LioState, points: Array, aux: Array,
     return odometry_step(state, unpack_step_input(points, aux, p), p)
 
 
+def _passthrough_output(state: LioState) -> StepOutput:
+    """StepOutput for a padded (invalid) window slot: state unchanged."""
+    pose = se3.Pose.from_vec6(state.pose6)
+    return StepOutput(
+        pose=pose, pose_matrix=pose.to_matrix(), pose6=state.pose6,
+        velocity=state.filter.nav.v, bias=state.filter.bias,
+        degenerate=state.degenerate, is_keyframe=jnp.asarray(False),
+        n_corner=jnp.asarray(0, jnp.int32), n_surf=jnp.asarray(0, jnp.int32),
+        kf_count=state.kf.count,
+        s2m_iterations=jnp.asarray(0, jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("p",), donate_argnums=(0,))
+def odometry_window_packed(state: LioState, points_w: Array, aux_w: Array,
+                           p: LioParams):
+    """W scans in ONE dispatch: ``lax.scan`` of the odometry step over a
+    window of packed inputs.
+
+    Through the tunneled-TPU runtime every dispatch pays ~25-35 ms of host
+    overhead regardless of device time (measured round 1, docs/DESIGN.md), so
+    feeding scans one program at a time caps throughput near 15 scans/s even
+    when the device math takes 15 ms.  Batching W scans per program amortizes
+    that fixed cost to overhead/W.  Semantics are identical to W sequential
+    ``odometry_step_packed`` calls (the scan body IS odometry_step); padded
+    slots carry aux[2T, 7] = 0 and pass the state through unchanged, so a
+    partial window reuses this same compiled program instead of compiling a
+    second one (remote compiles cost 10-50 min).
+
+    points_w: (W, max_points, 5);  aux_w: (W, 2T+2, 8)
+    """
+    T = p.imu_window
+
+    def body(st, pa):
+        pts, aux = pa
+        valid = aux[2 * T, 7] > 0.5
+        st, out = jax.lax.cond(
+            valid,
+            lambda s: odometry_step(s, unpack_step_input(pts, aux, p), p),
+            lambda s: (s, _passthrough_output(s)),
+            st,
+        )
+        return st, out
+
+    return jax.lax.scan(body, state, (points_w, aux_w))
+
+
 # ---------------------------------------------------------------------------
 # local map assembly
 # ---------------------------------------------------------------------------

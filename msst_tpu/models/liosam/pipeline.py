@@ -19,7 +19,7 @@ import numpy as np
 
 from ...ops import se3
 from .loop import loop_closure_step
-from .mapping import odometry_step, odometry_step_packed
+from .mapping import odometry_step, odometry_step_packed, odometry_window_packed
 from .params import LioParams
 from .state import LioState, init_state
 
@@ -61,8 +61,12 @@ class LioSam:
     """Tightly-coupled LiDAR-inertial odometry, one compiled step per scan."""
 
     def __init__(self, params: Optional[LioParams] = None,
-                 readback_interval: int = 8):
+                 readback_interval: int = 8, window: int = 1):
         self.p = params or LioParams()
+        # scans dispatched per compiled program via process_window(); each
+        # dispatch through the tunneled runtime pays a fixed ~25-35 ms, so
+        # batching W scans divides that overhead by W (docs/DESIGN.md)
+        self.window = max(1, window)
         self.state: LioState = init_state(self.p)
         self._trajectory = Trajectory([], [])
         self._scan_count = 0
@@ -83,10 +87,10 @@ class LioSam:
 
     # -- input assembly -----------------------------------------------------
 
-    def _make_input(self, xyz, ring, time_rel, scan_start,
-                    imu_t=None, imu_gyro=None, imu_acc=None, imu_rpy=None,
-                    gps_xyz=None, gps_sigma=None):
-        """Pack one scan's inputs into TWO device arrays (points, aux) —
+    def _make_input_np(self, xyz, ring, time_rel, scan_start,
+                       imu_t=None, imu_gyro=None, imu_acc=None, imu_rpy=None,
+                       gps_xyz=None, gps_sigma=None):
+        """Pack one scan's inputs into TWO host arrays (points, aux) —
         transfers through the device tunnel pay a fixed latency each, so 13
         small uploads cost more than 2 larger ones.  Layout documented in
         mapping.unpack_step_input."""
@@ -141,6 +145,11 @@ class LioSam:
                 gps_sigma if gps_sigma is not None else np.ones(3), np.float32)
         else:
             aux[2 * T + 1, 3:6] = 1.0
+        misc[7] = 1.0  # scan-valid flag (padded window slots leave this 0)
+        return points, aux
+
+    def _make_input(self, *args, **kw):
+        points, aux = self._make_input_np(*args, **kw)
         return jnp.asarray(points), jnp.asarray(aux)
 
     # -- public API ---------------------------------------------------------
@@ -160,20 +169,87 @@ class LioSam:
 
         if (self.p.loop_closure_enabled
                 and self._scan_count % self._loop_every == 0):
-            self._flush_pending()
-            self.state, loop = loop_closure_step(self.state, self.p)
-            if bool(loop.found):
-                # rewrite recorded trajectory tail from optimized keyframes
-                self._resync_trajectory()
+            self._try_loop_closure()
         return out
 
+    def process_window(self, scans):
+        """Feed up to ``self.window`` scans in ONE compiled dispatch.
+
+        ``scans`` is a list of dicts with keys ``xyz, ring, time_rel,
+        scan_start`` plus the optional sensor keywords of ``process_scan``.
+        Semantically identical to calling ``process_scan`` per element (the
+        window program's body IS the per-scan step) but pays the fixed
+        ~25-35 ms tunnel dispatch cost once per window instead of per scan.
+        A partial window is padded with invalid slots that pass the state
+        through, reusing the same compiled program.  Returns the stacked
+        StepOutput (leading axis = window slot; padded slots echo state)."""
+        W = self.window
+        if not 1 <= len(scans) <= W:
+            raise ValueError(f"expected 1..{W} scans, got {len(scans)}")
+        p = self.p
+        pts_w = np.zeros((W, p.max_points, 5), np.float32)
+        aux_w = np.zeros((W, 2 * p.imu_window + 2, 8), np.float32)
+        times = []
+        prev_count = self._scan_count
+        for i, s in enumerate(scans):
+            kw = {k: v for k, v in s.items()
+                  if k in ("imu_t", "imu_gyro", "imu_acc", "imu_rpy",
+                           "gps_xyz", "gps_sigma")}
+            pts_w[i], aux_w[i] = self._make_input_np(
+                s["xyz"], s["ring"], s["time_rel"], s["scan_start"], **kw)
+            self._last_scan_time = float(s["scan_start"])
+            self._scan_count += 1
+            times.append(float(s["scan_start"]))
+        new_state, outs = odometry_window_packed(
+            self.state, jnp.asarray(pts_w), jnp.asarray(aux_w), self.p)
+        self.state = new_state
+        self._pending.append((times, outs.pose_matrix))
+
+        if len(self._pending) * W >= self._readback_interval:
+            self._flush_pending()
+        if (self.p.loop_closure_enabled
+                and self._scan_count // self._loop_every
+                > prev_count // self._loop_every):
+            self._try_loop_closure()
+        return outs
+
+    def _try_loop_closure(self):
+        self._flush_pending()
+        self.state, loop = loop_closure_step(self.state, self.p)
+        if bool(loop.found):
+            # rewrite recorded trajectory tail from optimized keyframes
+            self._resync_trajectory()
+
     def _flush_pending(self):
-        """Batch-fetch accumulated poses (one D2H) + divergence check (the
-        respawn="true" equivalent, checked at readback granularity)."""
+        """Batch-fetch accumulated poses (one D2H per batch) + divergence
+        check (the respawn="true" equivalent, checked at readback
+        granularity).  Entries are (time, (4,4)) from process_scan or
+        ([times], (W,4,4)) from process_window; consecutive singles are
+        stacked into one transfer."""
         if not self._pending:
             return
-        times = [t for t, _ in self._pending]
-        mats = np.asarray(jnp.stack([m for _, m in self._pending]))
+        times: list = []
+        mat_chunks: list = []
+        run_t: list = []
+        run_m: list = []
+
+        def drain_run():
+            if run_m:
+                times.extend(run_t)
+                mat_chunks.append(np.asarray(jnp.stack(run_m)))
+                run_t.clear()
+                run_m.clear()
+
+        for t, m in self._pending:
+            if isinstance(t, (list, tuple)):
+                drain_run()
+                times.extend(t)
+                mat_chunks.append(np.asarray(m)[: len(t)])
+            else:
+                run_t.append(t)
+                run_m.append(m)
+        drain_run()
+        mats = np.concatenate(mat_chunks, axis=0)
         self._pending.clear()
         if not np.isfinite(mats).all():
             import warnings

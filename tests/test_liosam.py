@@ -265,3 +265,48 @@ def test_resync_trajectory_matches_float32_keyframe_times():
     assert lio._trajectory.poses[15][0, 3] == 22.0
     # untouched entries stay identity
     assert lio._trajectory.poses[4][0, 3] == 0.0
+
+
+def test_windowed_dispatch_matches_single_scan(dataset):
+    """process_window (N scans per compiled dispatch) must be semantically
+    identical to N process_scan calls — the window program's body IS the
+    per-scan step, so trajectories should agree to float tolerance."""
+    lio_single, _ = run_pipeline(dataset)
+
+    p = tiny_params(loop_closure_enabled=False)
+    lio_win = LioSam(p, window=4)
+    for i in range(0, len(dataset), 4):
+        batch = [
+            dict(xyz=s["xyz"], ring=s["ring"], time_rel=s["time_rel"],
+                 scan_start=s["scan_start"], imu_t=s["imu_t"],
+                 imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
+                 imu_rpy=s["imu_rpy"])
+            for s in dataset[i:i + 4]
+        ]
+        outs = lio_win.process_window(batch)
+        assert np.asarray(outs.pose6).shape[0] == 4
+
+    a = lio_single.trajectory.as_matrices()
+    b = lio_win.trajectory.as_matrices()
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-4)
+    assert int(lio_single.state.kf.count) == int(lio_win.state.kf.count)
+
+
+def test_windowed_partial_window_pads(dataset):
+    """A partial window (len < window) pads invalid slots that pass the state
+    through — same compiled program, no state corruption."""
+    p = tiny_params(loop_closure_enabled=False)
+    lio = LioSam(p, window=4)
+    batch = [
+        dict(xyz=s["xyz"], ring=s["ring"], time_rel=s["time_rel"],
+             scan_start=s["scan_start"], imu_t=s["imu_t"],
+             imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"], imu_rpy=s["imu_rpy"])
+        for s in dataset[:3]
+    ]
+    outs = lio.process_window(batch)
+    # padded slot echoes the last real pose
+    np.testing.assert_allclose(np.asarray(outs.pose6)[3],
+                               np.asarray(outs.pose6)[2], atol=1e-6)
+    traj = lio.trajectory
+    assert len(traj.times) == 3
