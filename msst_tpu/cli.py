@@ -209,7 +209,7 @@ def cmd_decode_pcap(args):
                               stamps.ctypes.data_as(ctypes.c_void_p), cap)
     if n <= 0:
         sys.exit(f"pcap read failed: {n}")
-    xyz, ring, trel, inten = packets.packets_to_scan(out[:n])
+    xyz, ring, trel, inten = packets.packets_to_scan(out[:n], stamps=stamps[:n])
     write_pcd(args.output, xyz, inten)
     print(f"{n} packets, {len(xyz)} points -> {args.output}")
 

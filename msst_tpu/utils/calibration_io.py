@@ -51,13 +51,37 @@ def load_calibration_yaml(path: str) -> dict:
 
 
 def decoder_config_from_calibration(calib: dict, **overrides):
-    """Build a packets.DecoderConfig from a loaded calibration."""
+    """Build a packets.DecoderConfig from a loaded calibration, carrying the
+    FULL per-laser correction set (rot/dist/two-point/offset/focal fields of
+    ``calibration.h:51-73``), not just the vertical angles."""
     from .packets import DecoderConfig
 
-    vert = [math.degrees(e.get("vert_correction", 0.0)) for e in calib["lasers"]]
+    lasers = calib["lasers"]
+
+    def col(key, default=0.0, convert=None):
+        vals = [e.get(key, default) for e in lasers]
+        if convert:
+            vals = [convert(v) for v in vals]
+        # drop all-default columns so DecoderConfig keeps its compact ()
+        return tuple(vals) if any(v != default for v in vals) else ()
+
+    vert = [math.degrees(e.get("vert_correction", 0.0)) for e in lasers]
     kw = dict(
         vert_angles_deg=tuple(vert) if vert else DecoderConfig().vert_angles_deg,
+        rot_correction_deg=col("rot_correction", 0.0, math.degrees),
+        dist_correction=col("dist_correction"),
+        two_pt_correction_available=col("two_pt_correction_available"),
+        dist_correction_x=col("dist_correction_x"),
+        dist_correction_y=col("dist_correction_y"),
+        vert_offset_correction=col("vert_offset_correction"),
+        horiz_offset_correction=col("horiz_offset_correction"),
+        focal_distance=col("focal_distance"),
+        focal_slope=col("focal_slope"),
+        min_intensity=col("min_intensity"),
+        max_intensity=col("max_intensity", 255.0),
     )
+    if lasers:
+        kw["num_lasers"] = int(calib.get("num_lasers", len(lasers)))
     if "distance_resolution" in calib:
         kw["distance_resolution"] = calib["distance_resolution"]
     kw.update(overrides)

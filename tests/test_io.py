@@ -16,18 +16,69 @@ RNG = np.random.default_rng(13)
 # packets
 
 
-def make_packet(azimuths, dist_m=10.0, intensity=100, res=0.002):
-    """Build one synthetic 1206-byte packet with given 12 block azimuths."""
+def make_packet(azimuths, dist_m=10.0, intensity=100, res=0.002, flags=None,
+                dists=None):
+    """Build one synthetic 1206-byte packet with given 12 block azimuths.
+    `dists`: optional (12, 32) per-channel distances in meters."""
     pkt = bytearray(1206)
     for b, az in enumerate(azimuths):
         o = b * 100
-        pkt[o:o + 2] = struct.pack("<H", 0xEEFF)
+        pkt[o:o + 2] = struct.pack("<H", 0xEEFF if flags is None else flags[b])
         pkt[o + 2:o + 4] = struct.pack("<H", int(az * 100) % 36000)
         for c in range(32):
-            d = int(dist_m / res)
+            dm = dist_m if dists is None else dists[b][c]
+            d = int(round(dm / res))
             pkt[o + 4 + c * 3:o + 4 + c * 3 + 2] = struct.pack("<H", d)
             pkt[o + 4 + c * 3 + 2] = intensity
     return bytes(pkt)
+
+
+def oracle_point(cfg, laser, raw, az_cd, inten_raw, tm16):
+    """Independent scalar transliteration of the reference correction math
+    (rawdata.cc:334-460 / :620-735) used as the decode oracle."""
+    import math
+
+    tab = cfg.laser_tables()
+    dist = raw * cfg.distance_resolution + tab["dist"][laser]
+    az = math.radians(az_cd / 100.0)
+    rc = float(tab["rot_rad"][laser])
+    cos_rot = math.cos(az) * math.cos(rc) + math.sin(az) * math.sin(rc)
+    sin_rot = math.sin(az) * math.cos(rc) - math.cos(az) * math.sin(rc)
+    cv, sv = math.cos(tab["vert_rad"][laser]), math.sin(tab["vert_rad"][laser])
+    vo, ho = float(tab["vert_off"][laser]), float(tab["horiz_off"][laser])
+    xy = dist * cv - vo * sv
+    xx = abs(xy * sin_rot - ho * cos_rot)
+    yy = abs(xy * cos_rot + ho * sin_rot)
+    cx = cy = 0.0
+    if tab["two_pt"][laser]:
+        dc, dcx, dcy = (float(tab["dist"][laser]), float(tab["dist_x"][laser]),
+                        float(tab["dist_y"][laser]))
+        cx = (dc - dcx) * (xx - 2.4) / (25.04 - 2.4) + dcx - dc
+        cy = (dc - dcy) * (yy - 1.93) / (25.04 - 1.93) + dcy - dc
+    x = ((dist + cx) * cv - vo * sv) * sin_rot - ho * cos_rot
+    y = ((dist + cy) * cv - vo * sv) * cos_rot + ho * sin_rot
+    z = (dist + cy) * sv + vo * cv
+    fo = 256.0 * (1 - tab["focal_dist"][laser] / 13100.0) ** 2
+    term = 256.0 * (1 - (raw // 65535 if tm16 else raw / 65535.0)) ** 2
+    inten = inten_raw + tab["focal_slope"][laser] * abs(fo - term)
+    inten = min(max(inten, tab["min_int"][laser]), tab["max_int"][laser])
+    return y, -x, z, inten, dist
+
+
+# a deliberately non-ideal calibration exercising every correction field
+RICH_CFG = packets.DecoderConfig(
+    rot_correction_deg=tuple(np.linspace(-2.0, 2.0, 16)),
+    dist_correction=tuple(np.linspace(-0.05, 0.08, 16)),
+    two_pt_correction_available=(1,) * 8 + (0,) * 8,
+    dist_correction_x=tuple(np.linspace(0.01, 0.06, 16)),
+    dist_correction_y=tuple(np.linspace(-0.04, 0.02, 16)),
+    vert_offset_correction=tuple(np.linspace(-0.02, 0.02, 16)),
+    horiz_offset_correction=tuple(np.linspace(-0.03, 0.03, 16)),
+    focal_distance=(1000.0,) * 16,
+    focal_slope=(0.5,) * 16,
+    min_intensity=(2.0,) * 16,
+    max_intensity=(250.0,) * 16,
+)
 
 
 def test_decode_packets_numpy_geometry():
@@ -37,13 +88,62 @@ def test_decode_packets_numpy_geometry():
     assert v.all()
     r = np.sqrt(out["x"] ** 2 + out["y"] ** 2 + out["z"] ** 2)
     np.testing.assert_allclose(r, 10.0, atol=1e-3)
-    # azimuth 0 -> x = d cos(el) sin(0) = 0, y = d cos(el)
-    np.testing.assert_allclose(out["x"][:16], 0.0, atol=1e-4)
-    assert (out["y"][:16] > 9.0).all()
+    # azimuth 0, ROS frame (rawdata.cc:454-456): x = d cos(el), y = 0
+    assert (out["x"][:16] > 9.0).all()
+    np.testing.assert_allclose(out["y"][:16], 0.0, atol=1e-4)
     # rings are a permutation of 0..15
     assert sorted(set(out["ring"].tolist())) == list(range(16))
-    # intensities preserved
+    # intensities preserved (default calibration: no focal correction)
     np.testing.assert_allclose(out["intensity"], 100.0)
+
+
+def test_decode_matches_scalar_oracle_with_corrections():
+    """NumPy decode == independent scalar oracle for a non-ideal per-laser
+    calibration (rot/dist/two-pt/offset/focal corrections all non-zero)."""
+    az = 37.0
+    pkt = np.frombuffer(make_packet([az] * 12, dist_m=12.345), np.uint8
+                        ).reshape(1, 1206)
+    out = packets.decode_packets_numpy(pkt, RICH_CFG)
+    # same azimuth in every block -> az_diff = 0 -> per-point azimuth = block
+    az_cd = int(az * 100)
+    raw = int(round(12.345 / RICH_CFG.distance_resolution))
+    for laser in range(16):
+        ex, ey, ez, ei, _ = oracle_point(RICH_CFG, laser, raw, az_cd, 100, True)
+        np.testing.assert_allclose(
+            [out["x"][laser], out["y"][laser], out["z"][laser],
+             out["intensity"][laser]],
+            [ex, ey, ez, ei], atol=1e-4,
+            err_msg=f"laser {laser}")
+
+
+def test_decode_timing_matches_reference_formula():
+    """Per-point times follow buildTimings (rawdata.cc:158-176): full cycle
+    49.152 us, single firing 3.072 us, offsets rebased to the packet end."""
+    pkt = np.frombuffer(make_packet([10.0] * 12), np.uint8).reshape(1, 1206)
+    out = packets.decode_packets_numpy(pkt)
+    t = out["time_us"].reshape(12, 2, 16)
+    for block in (0, 5, 11):
+        for firing in (0, 1):
+            for dsr in (0, 7, 15):
+                expected = (49.152 * (block * 2 + firing)
+                            + 3.072 * (dsr + 1) - 1179.648)
+                assert abs(t[block, firing, dsr] - expected) < 1e-3
+    # last point of the packet fires at the packet stamp (offset 0)
+    assert abs(t[11, 1, 15]) < 1e-3
+
+
+def test_decode_azimuth_interpolation():
+    """Within a block, firing 2 advances by cycle/blockdur = half the block
+    step and each dsr adds single/blockdur (unpack_tm16 :585-591)."""
+    azs = np.arange(12) * 0.4  # 0.4 deg per block
+    pkt = np.frombuffer(make_packet(azs.tolist()), np.uint8).reshape(1, 1206)
+    out = packets.decode_packets_numpy(pkt)
+    az = out["azimuth_deg"].reshape(12, 2, 16)
+    np.testing.assert_allclose(az[0, 0, 0], 0.0, atol=0.011)
+    np.testing.assert_allclose(az[0, 1, 0], 0.2, atol=0.011)   # half step
+    np.testing.assert_allclose(az[0, 0, 8], 0.4 * (8 * 3.072 / 98.304),
+                               atol=0.011)
+    np.testing.assert_allclose(az[3, 0, 0], 1.2, atol=0.011)
 
 
 def test_decode_packets_native_matches_numpy():
@@ -54,29 +154,120 @@ def test_decode_packets_native_matches_numpy():
     pkts = np.stack([
         np.frombuffer(make_packet(azs + i), np.uint8) for i in range(4)
     ])
-    a = packets.decode_packets_numpy(pkts)
-    b = packets.decode_packets(pkts)
-    np.testing.assert_array_equal(a["valid"], b["valid"])
-    for k in ("x", "y", "z", "intensity", "time_us"):
-        np.testing.assert_allclose(a[k][a["valid"]], b[k][b["valid"]], atol=2e-3)
-    np.testing.assert_array_equal(a["ring"], b["ring"])
+    for cfg in (packets.DecoderConfig(), RICH_CFG):
+        a = packets.decode_packets_numpy(pkts, cfg)
+        b = packets.decode_packets(pkts, cfg)
+        np.testing.assert_array_equal(a["valid"], b["valid"])
+        for k in ("x", "y", "z", "intensity", "time_us", "azimuth_deg"):
+            np.testing.assert_allclose(a[k][a["valid"]], b[k][b["valid"]],
+                                       atol=2e-3, err_msg=k)
+        np.testing.assert_array_equal(a["ring"], b["ring"])
+
+
+def test_decode_banked_64_laser():
+    """32/64-laser devices use banked blocks: 0xEEFF = lasers 0..31,
+    0xDDFF = 32..63 (unpack :306-330); zero returns are skipped (:342-346)."""
+    vert = tuple(np.linspace(-24.0, 2.0, 64))
+    cfg = packets.DecoderConfig(num_lasers=64, vert_angles_deg=vert,
+                                max_range=200.0)
+    flags = [0xEEFF, 0xDDFF] * 6
+    dists = np.full((12, 32), 20.0)
+    dists[0, 5] = 0.0  # no return
+    pkt = np.frombuffer(make_packet([90.0] * 12, flags=flags, dists=dists),
+                        np.uint8).reshape(1, 1206)
+    out = packets.decode_packets_numpy(pkt, cfg)
+    v = out["valid"].reshape(12, 32)
+    assert not v[0, 5]          # zero return dropped
+    assert v[0, :5].all() and v[0, 6:].all() and v[1].all()
+    ring = out["ring"].reshape(12, 32)
+    # lower-bank block 1 gets lasers 32..63 -> higher elevations -> ring 32+
+    assert (ring[1] >= 32).all() and (ring[0] < 32).all()
+    # monotone vert table -> ring == laser id
+    np.testing.assert_array_equal(ring[1], np.arange(32, 64))
+    # all 64-laser times are 0 (buildTimings supports TM16 only :178-181)
+    assert (out["time_us"] == 0).all()
+    if packets._load_native():
+        b = packets.decode_packets(pkt, cfg)
+        np.testing.assert_array_equal(out["valid"], b["valid"])
+        np.testing.assert_allclose(out["x"][out["valid"]],
+                                   b["x"][b["valid"]], atol=2e-3)
+
+
+def test_hide_line_restricts_to_azimuth_window():
+    """hide_line rings keep only azimuth-window points; unlisted rings bypass
+    the window entirely (unpack_tm16 :601-618)."""
+    azs = np.linspace(0, 330, 12)
+    pkt = np.frombuffer(make_packet(azs.tolist()), np.uint8).reshape(1, 1206)
+    cfg = packets.DecoderConfig(hide_rings=(0, 1),
+                                azimuth_windows=((0.0, 90.0),))
+    out = packets.decode_packets_numpy(pkt, cfg)
+    hidden = np.isin(out["ring"], (0, 1))
+    in_win = out["azimuth_deg"] <= 90.0
+    np.testing.assert_array_equal(out["valid"][hidden], in_win[hidden])
+    assert out["valid"][~hidden].all()
+    if packets._load_native():
+        b = packets.decode_packets(pkt, cfg)
+        np.testing.assert_array_equal(out["valid"], b["valid"])
+
+
+def test_tm16_denoise_filter():
+    """filter_tm16 (:748-796): smooth per-ring distance streams pass (with a
+    one-point delay and stream edges dropped); an isolated spike is removed."""
+    dists = np.full((12, 32), 10.0)
+    dists[5, 3] = 30.0   # spike on dsr 3, block 5 firing 0
+    pkt = np.frombuffer(make_packet([0.0] * 12, dists=dists), np.uint8
+                        ).reshape(1, 1206)
+    cfg = packets.DecoderConfig(filter_threshold=(10, 10, 10, 10),
+                                max_range=130.0)
+    out = packets.decode_packets_numpy(pkt, cfg)
+    v = out["valid"].reshape(12, 2, 16)
+    # the spike never gets emitted (its neighbor deltas are huge)
+    assert not v[5, 0, 3]
+    # smooth ring far from the spike: interior points all emitted
+    assert v[3:9, :, 8].all()
+    # stream edges (first point, last two) are never emitted
+    assert not v[0, 0, 8] and not v[11, 1, 8]
+    if packets._load_native():
+        b = packets.decode_packets(pkt, cfg)
+        np.testing.assert_array_equal(out["valid"], b["valid"])
 
 
 def test_packets_to_scan():
     pkts = np.stack([np.frombuffer(make_packet(np.linspace(0, 350, 12)), np.uint8)])
     xyz, ring, trel, inten = packets.packets_to_scan(pkts)
     assert xyz.shape[1] == 3 and len(xyz) == 384
-    # one packet spans 12 blocks x 2 firings x 55.296 us ~ 1.33 ms
-    assert trel.min() == 0.0 and trel.max() < 2e-3
+    # one packet spans 24 firings x 49.152 us ~ 1.18 ms
+    assert trel.min() == 0.0 and trel.max() < 1.3e-3
 
 
-def test_invalid_flag_rejected():
+def test_packets_to_scan_multi_packet_spans_scan():
+    """Per-point times must span the whole multi-packet scan, not repeat per
+    packet (uses per-packet capture stamps; ADVICE r1)."""
+    azs = np.linspace(0, 350, 12)
+    pkts = np.stack([np.frombuffer(make_packet(azs), np.uint8)
+                     for _ in range(10)])
+    stamps = 1000.0 + np.arange(10) * 0.01  # 10 ms apart
+    xyz, ring, trel, inten = packets.packets_to_scan(pkts, stamps=stamps)
+    assert trel.max() > 0.09   # spans ~90 ms + in-packet offsets
+    # without stamps, back-to-back packet cycles still give a monotone span
+    _, _, trel2, _ = packets.packets_to_scan(pkts)
+    assert trel2.max() > 9 * 1179.648e-6 * 0.9
+
+
+def test_invalid_flag_aborts_rest_of_packet():
+    """A mangled TM16 block header drops the REST of the packet
+    (unpack_tm16 :540-549), not just that block."""
     pkt = bytearray(make_packet([0.0] * 12))
-    pkt[0:2] = b"\x00\x00"  # corrupt first block flag
+    pkt[5 * 100: 5 * 100 + 2] = b"\x00\x00"  # corrupt block 5 flag
     out = packets.decode_packets_numpy(
         np.frombuffer(bytes(pkt), np.uint8).reshape(1, 1206))
-    assert not out["valid"][:32].any()
-    assert out["valid"][32:].all()
+    v = out["valid"].reshape(12, 32)
+    assert v[:5].all()
+    assert not v[5:].any()
+    if packets._load_native():
+        b = packets.decode_packets(
+            np.frombuffer(bytes(pkt), np.uint8).reshape(1, 1206))
+        np.testing.assert_array_equal(out["valid"], b["valid"])
 
 
 # ---------------------------------------------------------------------------
