@@ -58,19 +58,31 @@ def _ground_align(m_xyz, m_mask, s_xyz, s_mask, cfg, key) -> tuple:
                                  cfg.ground_threshold)
     nm = jnp.where(fm.normal[2] < 0, -fm.normal, fm.normal)
     dm = jnp.where(fm.normal[2] < 0, -fm.d, fm.d)
+
+    def align(ns, ds):
+        # rotate slave normal onto master normal
+        axis = jnp.cross(ns, nm)
+        s = jnp.linalg.norm(axis)
+        c = jnp.clip(jnp.dot(ns, nm), -1.0, 1.0)
+        ang = jnp.arctan2(s, c)
+        q = se3.so3_exp_quat(jnp.where(s < 1e-9, jnp.zeros(3),
+                                       axis / jnp.maximum(s, 1e-9) * ang))
+        # z so plane offsets match: master plane n.x+dm=0, rotated slave has
+        # same normal with offset ds -> shift along nm by (ds - dm)
+        return se3.Pose(q, nm * (ds - dm))
+
+    # flipped-normal retry (calibration.cpp:218-233): a tilted sensor makes
+    # the z>0 sign heuristic ambiguous; when the first alignment's z shift
+    # exceeds 0.5 m of the (already-applied) initial extrinsic, flip the
+    # slave plane and realign
     ns = jnp.where(fs.normal[2] < 0, -fs.normal, fs.normal)
     ds = jnp.where(fs.normal[2] < 0, -fs.d, fs.d)
-    # rotate slave normal onto master normal
-    axis = jnp.cross(ns, nm)
-    s = jnp.linalg.norm(axis)
-    c = jnp.clip(jnp.dot(ns, nm), -1.0, 1.0)
-    ang = jnp.arctan2(s, c)
-    q = se3.so3_exp_quat(jnp.where(s < 1e-9, jnp.zeros(3),
-                                   axis / jnp.maximum(s, 1e-9) * ang))
-    # z so plane offsets match: master plane n.x+dm=0, rotated slave has same
-    # normal with offset ds -> shift along nm by (ds - dm)
-    t = nm * (ds - dm)
-    return se3.Pose(q, t), nm, dm, fm.ok & fs.ok, fm.inlier_mask, fs.inlier_mask
+    pose_a = align(ns, ds)
+    pose_b = align(-ns, -ds)
+    use_b = jnp.abs(pose_a.t[2]) > 0.5
+    pose = se3.Pose(jnp.where(use_b, pose_b.q, pose_a.q),
+                    jnp.where(use_b, pose_b.t, pose_a.t))
+    return pose, nm, dm, fm.ok & fs.ok, fm.inlier_mask, fs.inlier_mask
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -21,9 +21,16 @@ N_BINS = 11  # per angle, 3 angles -> 33-dim FPFH (Open3D/PCL layout)
 
 
 def estimate_normals(xyz: Array, mask: Array, grid: knn.HashGrid, k: int = 16,
-                     candidates_per_cell: int = 32) -> Array:
-    """Smallest-eigenvector normals oriented toward the origin (viewpoint)."""
-    res = knn.query(grid, xyz, mask, k=k, candidates_per_cell=candidates_per_cell)
+                     candidates_per_cell: int = 32,
+                     max_radius: float = jnp.inf) -> Array:
+    """Smallest-eigenvector normals oriented toward the origin (viewpoint).
+
+    ``max_radius`` bounds the support like Open3D's KDTreeSearchParamHybrid
+    (``Calibration.py:413-415``: radius 5*voxel, max_nn 100) — pure kNN
+    support makes the feature scale density-dependent, which breaks
+    cross-sensor matching between sparse and dense clouds."""
+    res = knn.query(grid, xyz, mask, k=k, candidates_per_cell=candidates_per_cell,
+                    max_sqdist=float(max_radius) ** 2)
     nbrs = xyz[res.idx]
     w = res.valid.astype(xyz.dtype)[..., None]
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
@@ -81,15 +88,22 @@ def _spfh(xyz: Array, normals: Array, nbr_idx: Array, nbr_valid: Array) -> Array
 
 
 def fpfh(xyz: Array, mask: Array, grid: knn.HashGrid, k: int = 16,
-         candidates_per_cell: int = 32) -> Array:
-    """(N, 33) FPFH: SPFH(p) + mean of distance-weighted neighbor SPFHs."""
-    normals = estimate_normals(xyz, mask, grid, k, candidates_per_cell)
-    res = knn.query(grid, xyz, mask, k=k, candidates_per_cell=candidates_per_cell)
-    nbr_idx = jnp.where(res.valid, res.idx, 0)
-    spfh = _spfh(xyz, normals, nbr_idx, res.valid)
+         candidates_per_cell: int = 32, max_radius: float = jnp.inf) -> Array:
+    """(N, 33) FPFH: SPFH(p) + mean of distance-weighted neighbor SPFHs.
+    Support is radius-capped (density-consistent, like Open3D's hybrid
+    search) and excludes the query point itself."""
+    normals = estimate_normals(xyz, mask, grid, k, candidates_per_cell,
+                               max_radius)
+    res = knn.query(grid, xyz, mask, k=k, candidates_per_cell=candidates_per_cell,
+                    max_sqdist=float(max_radius) ** 2)
+    # exclude the self-neighbor: its zero-length pair vector yields garbage
+    # Darboux angles and its 1/d weight would dominate the neighbor average
+    nbr_ok = res.valid & (res.sqdist > 1e-12)
+    nbr_idx = jnp.where(nbr_ok, res.idx, 0)
+    spfh = _spfh(xyz, normals, nbr_idx, nbr_ok)
 
     d = jnp.sqrt(jnp.maximum(res.sqdist, 1e-12))
-    wgt = jnp.where(res.valid, 1.0 / jnp.maximum(d, 1e-3), 0.0)   # (N, k)
+    wgt = jnp.where(nbr_ok, 1.0 / jnp.maximum(d, 1e-3), 0.0)   # (N, k)
     nb = spfh[nbr_idx]                                            # (N, k, 33)
     acc = jnp.einsum("nk,nkf->nf", wgt, nb)
     wsum = jnp.maximum(jnp.sum(wgt, axis=1, keepdims=True), 1e-9)

@@ -38,15 +38,21 @@ from .features import fpfh, mutual_correspondences
 class MultiLicaConfig:
     """Mirrors ``Multi_LiCa/config/params.yaml`` defaults."""
 
-    voxel_size: float = 0.15
-    crop_lo: tuple = (-50.0, -50.0, -5.0)
-    crop_hi: tuple = (50.0, 50.0, 15.0)
-    fpfh_k: int = 16
+    voxel_size: float = 0.35           # TEASER stage voxel (Calibration.py:188)
+    crop_lo: tuple = (-20.0, -20.0, -20.0)   # crop_cloud=20 cube (:406-408)
+    crop_hi: tuple = (20.0, 20.0, 20.0)
+    fpfh_k: int = 48
+    # FPFH/normal support radius = factor * voxel (Open3D hybrid search with
+    # radius 5*voxel, max_nn 100, :413-420); radius-capped support keeps the
+    # feature scale density-consistent across sensors.  4*voxel is the exact
+    # deterministic coverage of the 27-cell hash-grid probe.
+    fpfh_radius_factor: float = 4.0
     max_corr: int = 1024
     gnc_noise_bound: float = 0.3
     gicp_max_iters: int = 50
     gicp_max_corr_dist: float = 1.0
     fitness_gate: float = 0.6          # reference's fitness threshold for retry
+    min_coarse_inliers: int = 50       # below this the FPFH coarse is noise
     capacity: int = 16384
     knn_table: int = 16384
     ground_ransac_iters: int = 300
@@ -66,10 +72,12 @@ def _prep_stage(xyz, mask, cfg: MultiLicaConfig):
     from ...ops.pointcloud import crop_box
     cl = crop_box(cl, jnp.asarray(cfg.crop_lo), jnp.asarray(cfg.crop_hi))
     cl = voxel_downsample(cl, cfg.voxel_size, capacity=cfg.capacity)
-    grid = knn.build(cl.xyz, cl.mask, cell_size=4 * cfg.voxel_size,
+    radius = cfg.fpfh_radius_factor * cfg.voxel_size
+    grid = knn.build(cl.xyz, cl.mask, cell_size=radius,
                      table_size=cfg.knn_table)
-    feat = fpfh(cl.xyz, cl.mask, grid, k=cfg.fpfh_k)
-    cov = registration.point_covariances(cl.xyz, cl.mask, grid, k=cfg.fpfh_k)
+    feat = fpfh(cl.xyz, cl.mask, grid, k=cfg.fpfh_k, candidates_per_cell=64,
+                max_radius=radius)
+    cov = registration.point_covariances(cl.xyz, cl.mask, grid, k=16)
     return cl, grid, feat, cov
 
 
@@ -90,19 +98,43 @@ def _fine_stage(s_cl, s_cov, t_grid, t_cl, t_cov, init_pose,
 
 
 def calibrate_pair(src_xyz, src_mask, tgt_xyz, tgt_mask, cfg: MultiLicaConfig,
-                   init: Optional[se3.Pose] = None) -> PairResult:
+                   init: Optional[se3.Pose] = None,
+                   key: Optional[jax.Array] = None) -> PairResult:
     """Full coarse+fine calibration of one source cloud to a target cloud.
 
     Runs as FOUR jitted stages rather than one fused program: fusing the whole
     pipeline tempts XLA's rematerializer into a ~70 GB intermediate on TPU
     (observed at capacity 8192); staged compilation is also ~4x faster and
-    this path is offline."""
+    this path is offline.
+
+    When the FPFH coarse stage starves (planar scenes make FPFH
+    non-discriminative — the reference leans on TEASER++'s max-clique
+    pruning to survive <5% correspondence inlier rates) and the fine fitness
+    stays below the gate, retry from a SensorsCalibration-style ground-align
+    + batched-yaw-search coarse pose and keep whichever refinement matches
+    more points."""
     s_cl, s_grid, s_feat, s_cov = _prep_stage(src_xyz, src_mask, cfg)
     t_cl, t_grid, t_feat, t_cov = _prep_stage(tgt_xyz, tgt_mask, cfg)
     co = _coarse_stage(s_cl, t_cl, s_feat, t_feat, cfg)
     init_pose = co.pose if init is None else init
     fine = _fine_stage(s_cl, s_cov, t_grid, t_cl, t_cov, init_pose, cfg)
-    return PairResult(fine.pose, fine.matched_frac, fine.fitness, co.n_inliers)
+    best = PairResult(fine.pose, fine.matched_frac, fine.fitness, co.n_inliers)
+    starved = int(co.n_inliers) < cfg.min_coarse_inliers
+    if init is None and (starved or float(best.fitness) < cfg.fitness_gate):
+        from .auto_calib import AutoCalibConfig, auto_calibrate
+
+        k = jax.random.PRNGKey(0) if key is None else key
+        acfg = AutoCalibConfig(knn_table=cfg.knn_table)
+        alt = auto_calibrate(t_cl.xyz, t_cl.mask, s_cl.xyz, s_cl.mask, acfg, k)
+        fine2 = _fine_stage(s_cl, s_cov, t_grid, t_cl, t_cov, alt.pose, cfg)
+        # matched fraction first; a flipped/slid pose can still match ~2/3 of
+        # the points through the ground plane, so break ties on inlier RMSE
+        score1 = float(best.fitness) - 0.3 * float(best.rmse)
+        score2 = float(fine2.matched_frac) - 0.3 * float(fine2.fitness)
+        if score2 > score1:
+            best = PairResult(fine2.pose, fine2.matched_frac, fine2.fitness,
+                              co.n_inliers)
+    return best
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -1,14 +1,47 @@
 """PCD file I/O (the pcl::io role: calibration goldens, save_map export).
 
-Supports ascii and binary PCD v0.7 with arbitrary scalar fields — enough to
-read the reference's shipped calibration inputs
+Supports ascii, binary, and binary_compressed (LZF) PCD v0.7 with arbitrary
+scalar fields — enough to read the reference's shipped calibration inputs
 (``SensorsCalibration/lidar2lidar/auto_calib/data/``, ``Multi_LiCa/data/``)
 and to write ``save_map``-style exports (``mapOptmization.cpp:355-419``).
 """
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
+
+
+def lzf_decompress(data: bytes, expected_size: int) -> bytes:
+    """Pure-Python libLZF decompressor (the PCL binary_compressed codec)."""
+    out = bytearray(expected_size)
+    i, o, n = 0, 0, len(data)
+    while i < n and o < expected_size:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 32:  # literal run of ctrl+1 bytes
+            run = ctrl + 1
+            out[o:o + run] = data[i:i + run]
+            i += run
+            o += run
+        else:  # back reference
+            length = ctrl >> 5
+            if length == 7:
+                length += data[i]
+                i += 1
+            ref = o - ((ctrl & 0x1F) << 8) - data[i] - 1
+            i += 1
+            length += 2
+            if ref + length <= o:  # non-overlapping: block copy
+                out[o:o + length] = out[ref:ref + length]
+                o += length
+            else:  # overlapping run: byte-wise
+                for _ in range(length):
+                    out[o] = out[ref]
+                    o += 1
+                    ref += 1
+    return bytes(out[:o])
 
 _TYPEMAP = {
     ("F", 4): np.float32, ("F", 8): np.float64,
@@ -57,6 +90,19 @@ def read_pcd(path: str) -> dict:
                 col += w
         elif mode == "binary":
             rec = np.frombuffer(f.read(n * dt.itemsize), dtype=dt, count=n)
+        elif mode == "binary_compressed":
+            # [u32 compressed_size][u32 uncompressed_size][LZF data], with
+            # the uncompressed payload laid out field-major (SOA)
+            comp_size, uncomp_size = struct.unpack("<II", f.read(8))
+            buf = lzf_decompress(f.read(comp_size), uncomp_size)
+            rec = np.zeros(n, dt)
+            off = 0
+            for name, t, s, c in zip(fields, types, sizes, counts):
+                base = _TYPEMAP[(t, s)]
+                width = s * c * n
+                col = np.frombuffer(buf[off:off + width], dtype=base)
+                rec[name] = col.reshape(n, c) if c > 1 else col[:n]
+                off += width
         else:
             raise ValueError(f"unsupported PCD DATA mode: {mode}")
 
