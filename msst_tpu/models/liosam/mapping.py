@@ -232,11 +232,93 @@ def _rebuild_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
 # ---------------------------------------------------------------------------
 
 
+def _evict_oldest_keyframe(state: LioState, p: LioParams) -> LioState:
+    """Ring-buffer eviction with marginalization: drop the oldest keyframe,
+    folding its information into a prior on the new oldest pose.
+
+    The reference grows its keyframe store unboundedly
+    (``mapOptmization.cpp``) but resets its preintegration graph every 100
+    keys *carrying the marginal covariances forward as new priors*
+    (``imuPreintegration.cpp:320-347``) — this applies the same mechanic to
+    the keyframe graph so a fixed-capacity store keeps mapping forever
+    instead of freezing (round-1 weak #4).
+
+    Marginalization is the Schur complement of the factors touching slot 0
+    (its prior + the 0->1 odometry chain factor) onto slot 1; loop/GPS
+    factors attached to slot 0 are dropped conservatively.  The resulting
+    6x6 information is diagonalized to fit the diagonal PriorFactor."""
+    kf, graph = state.kf, state.graph
+    K = kf.pose6.shape[0]
+
+    # --- Schur complement H11' = H11 - H10 H00^-1 H01 over whitened blocks
+    rp, Jp = graph_ops._prior_terms(graph.poses, graph.priors)
+    wp = (graph.priors.mask & (graph.priors.idx == 0)).astype(jnp.float32)
+    H00 = jnp.einsum("nri,n,nrj->ij", Jp, wp, Jp)
+    rb, Ji, Jj = graph_ops._between_terms(graph.poses, graph.betweens)
+    wb = ((graph.betweens.i == 0) & (graph.betweens.j == 1)
+          & graph.betweens.mask).astype(jnp.float32)
+    H00 = H00 + jnp.einsum("nri,n,nrj->ij", Ji, wb, Ji)
+    H01 = jnp.einsum("nri,n,nrj->ij", Ji, wb, Jj)
+    H11 = jnp.einsum("nri,n,nrj->ij", Jj, wb, Jj)
+    M = H11 - H01.T @ jnp.linalg.solve(H00 + 1e-6 * jnp.eye(6), H01)
+    marg_sqrt_info = jnp.sqrt(jnp.clip(jnp.diag(M), 1e-6, 1e8))
+
+    # --- shift everything down one slot (slot i = i-th oldest invariant)
+    def roll1(x):
+        return jnp.roll(x, -1, axis=0)
+
+    kf = kf._replace(
+        pose6=roll1(kf.pose6), time=roll1(kf.time),
+        corner_xyz=roll1(kf.corner_xyz), corner_mask=roll1(kf.corner_mask),
+        surf_xyz=roll1(kf.surf_xyz), surf_mask=roll1(kf.surf_mask),
+        count=jnp.asarray(K - 1, jnp.int32),  # insertion bumps it back to K
+    )
+    poses = se3.Pose(roll1(graph.poses.q), roll1(graph.poses.t))
+
+    # new anchor prior on the (shifted) oldest pose
+    pr = graph.priors
+    pr = pr._replace(
+        idx=pr.idx.at[0].set(0),
+        meas=se3.Pose(pr.meas.q.at[0].set(poses.q[0]),
+                      pr.meas.t.at[0].set(poses.t[0])),
+        sqrt_info=pr.sqrt_info.at[0].set(marg_sqrt_info),
+        mask=pr.mask.at[0].set(True),
+    )
+
+    # betweens: decrement indices (factors to the evicted pose drop out),
+    # then roll the chain region so chain factor i->i+1 stays at row i
+    b = graph.betweens
+    keep = b.mask & (b.i >= 1) & (b.j >= 1)
+    i2, j2 = b.i - 1, b.j - 1
+    chain = K - 1  # rows [0, K-1) hold the odometry chain
+
+    def roll_chain(x):
+        return jnp.concatenate([jnp.roll(x[:chain], -1, axis=0), x[chain:]],
+                               axis=0)
+
+    b = graph_ops.BetweenFactor(
+        i=roll_chain(i2), j=roll_chain(j2),
+        meas=se3.Pose(roll_chain(b.meas.q), roll_chain(b.meas.t)),
+        sqrt_info=roll_chain(b.sqrt_info), mask=roll_chain(keep),
+    )
+
+    gps = graph.gps
+    gps = gps._replace(idx=gps.idx - 1, mask=gps.mask & (gps.idx >= 1))
+
+    graph = graph._replace(poses=poses, priors=pr, betweens=b, gps=gps)
+    return state._replace(kf=kf, graph=graph)
+
+
 def _insert_keyframe(state: LioState, pose6: Array, scan_time: Array,
                      corner: Cloud, surf: Cloud, inp: StepInput,
                      p: LioParams) -> LioState:
+    K = state.kf.pose6.shape[0]
+    # at capacity: evict the oldest keyframe with marginalization instead of
+    # freezing the map (the round-1 saturation behavior)
+    state = jax.lax.cond(state.kf.count >= K,
+                         lambda s: _evict_oldest_keyframe(s, p),
+                         lambda s: s, state)
     kf, graph = state.kf, state.graph
-    K = kf.pose6.shape[0]
     slot = jnp.minimum(kf.count, K - 1)
     pose = se3.Pose.from_vec6(pose6)
 
@@ -414,11 +496,9 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
     dist = jnp.linalg.norm(d.t)
     small = jnp.all(drpy < p.surrounding_keyframe_adding_angle_threshold) & (
         dist < p.surrounding_keyframe_adding_dist_threshold)
-    # at capacity, STOP inserting (overwriting the last slot would corrupt the
-    # map); odometry keeps running against the frozen map.  The reference
-    # grows unboundedly — size max_keyframes for the mission length.
-    has_room = state.kf.count < p.max_keyframes
-    is_kf = ((state.kf.count == 0) | ~small) & has_room
+    # at capacity the insert path evicts the oldest keyframe with
+    # marginalization (see _evict_oldest_keyframe) — mapping never freezes
+    is_kf = (state.kf.count == 0) | ~small
 
     state2 = jax.lax.cond(
         is_kf,
@@ -430,7 +510,13 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
     pose6_out = state2.pose6
     pose_out = se3.Pose.from_vec6(pose6_out)
 
-    # --- ESKF measurement update / (re)initialization
+    # --- ESKF measurement update / (re)initialization.  The update only
+    # applies when scan-to-map actually ran: correcting with the filter's own
+    # propagated pose would shrink the covariance without information (and
+    # break the GPS pose-covariance gate, which relies on covariance GROWING
+    # while the estimator is blind).
+    registered = have_map & enough
+
     def init_filter():
         return imu_fusion.FilterState.initial(pose_out)
 
@@ -440,7 +526,10 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
             degenerate)
         return jax.lax.cond(imu_fusion.reset_needed(fs), init_filter, lambda: fs)
 
-    fs_new = jax.lax.cond(state.initialized, update_filter, init_filter)
+    fs_new = jax.lax.cond(
+        state.initialized,
+        lambda: jax.lax.cond(registered, update_filter, lambda: fs_prop),
+        init_filter)
 
     new_state = state2._replace(
         filter=fs_new,

@@ -75,9 +75,14 @@ class LioParams:
     # --- GPS fusion (params.yaml:14-18)
     use_gps_elevation: bool = False
     gps_cov_threshold: float = 2.0
-    # reference default 25.0 against iSAM marginals; our gate reads the ESKF
-    # position covariance whose scale differs — 0.0 = always fuse gated GPS
-    pose_cov_threshold: float = 0.0
+    # GPS fuses only while the estimator is uncertain (addGPSFactor,
+    # mapOptmization.cpp:1420-1434, reference default 25.0 m^2 against iSAM
+    # marginals).  Our gate reads the ESKF position-covariance trace, whose
+    # scale differs: measured (tests/test_liosam.py) the confident steady
+    # state sits at 0.007-0.03 m^2 and blind IMU-only propagation crosses
+    # 0.05 within ~1 s — so 0.05 separates "tracking" from "lost".
+    # Set 0.0 to always fuse quality-gated GPS.
+    pose_cov_threshold: float = 0.05
 
     # --- static capacity caps (TPU fixed shapes; no reference analogue —
     # the reference grows dynamically, see SURVEY.md §7 "dynamic shapes")
