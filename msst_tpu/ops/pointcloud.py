@@ -164,3 +164,33 @@ def centroid(cloud: Cloud) -> Array:
     w = cloud.mask.astype(cloud.xyz.dtype)[:, None]
     s = jnp.sum(cloud.xyz * w, axis=0)
     return s / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def transform_to_fixed_frame(xyz: Array, t: Array, pose_times: Array,
+                             pose_q: Array, pose_t: Array) -> Array:
+    """Re-project points captured at times ``t`` into a fixed frame given a
+    pose timeline — the transform-node role
+    (``timoo/src/timoo_pointcloud/src/conversions/transform.cc:28-74``: each
+    packet is transformed by the TF at its stamp into the fixed frame; the
+    TF-listener lookup becomes interpolation on an explicit (times, poses)
+    timeline).
+
+    Unlike scan deskew (``frontend``/``range_image``), which interpolates the
+    IMU *rotation increment* within one scan and maps points to the scan
+    start, this maps arbitrary packet groups through absolute sensor poses
+    into one fixed frame — the multi-packet / multi-scan accumulation case.
+
+    xyz: (N, 3); t: (N,) point times; pose_times: (M,) ascending;
+    pose_q: (M, 4) wxyz; pose_t: (M, 3).  Pose at each t by linear
+    interpolation (slerp for rotation), clamped at the timeline ends.
+    """
+    from . import se3
+
+    M = pose_times.shape[0]
+    j = jnp.clip(jnp.searchsorted(pose_times, t, side="right") - 1, 0, M - 2)
+    t0 = pose_times[j]
+    t1 = pose_times[j + 1]
+    w = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
+    q = se3.quat_slerp(pose_q[j], pose_q[j + 1], w[:, None])
+    trans = pose_t[j] * (1.0 - w[:, None]) + pose_t[j + 1] * w[:, None]
+    return se3.quat_rotate(q, xyz) + trans

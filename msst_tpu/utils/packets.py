@@ -541,3 +541,41 @@ def packets_to_scan(packets: np.ndarray, cfg: DecoderConfig = DecoderConfig(),
     t = t_abs[v]
     t0 = t.min() if len(t) else 0.0
     return xyz, d["ring"][v], (t - t0).astype(np.float32), d["intensity"][v]
+
+
+def packets_to_fixed_frame(packets: np.ndarray, stamps,
+                           pose_times, poses6,
+                           cfg: DecoderConfig = DecoderConfig(),
+                           per_point_times: bool = True):
+    """Decode a packet batch and re-project every point into a fixed frame
+    given a sensor pose timeline — the transform node
+    (``transform.cc:28-74``), which re-projects each packet by the TF at its
+    stamp instead of assuming one rigid scan.
+
+    stamps: (P,) per-packet capture times; pose_times: (M,) ascending;
+    poses6: (M, 6) (roll,pitch,yaw,x,y,z) sensor poses in the fixed frame.
+    per_point_times=True adds the in-packet firing offsets to each point's
+    time before interpolation (finer than the reference's per-packet TF).
+    Returns (xyz_fixed, ring, intensity)."""
+    import jax.numpy as jnp
+
+    from ..ops import se3
+    from ..ops.pointcloud import transform_to_fixed_frame
+
+    d = decode_packets(packets, cfg)
+    stamps = np.asarray(stamps, np.float64)
+    t = np.repeat(stamps, BLOCKS_PER_PACKET * CHANNELS_PER_BLOCK)
+    if per_point_times:
+        t = t + d["time_us"].astype(np.float64) * 1e-6
+    v = d["valid"]
+    xyz = np.stack([d["x"][v], d["y"][v], d["z"][v]], axis=1)
+
+    pose_times = np.asarray(pose_times, np.float64)
+    epoch = pose_times[0]
+    poses = se3.Pose.from_vec6(jnp.asarray(np.asarray(poses6, np.float32)))
+    out = transform_to_fixed_frame(
+        jnp.asarray(xyz),
+        jnp.asarray((t[v] - epoch).astype(np.float32)),
+        jnp.asarray((pose_times - epoch).astype(np.float32)),
+        poses.q, poses.t)
+    return np.asarray(out), d["ring"][v], d["intensity"][v]

@@ -554,3 +554,50 @@ def test_lio_kitti_cli_on_synthetic_drive(tmp_path):
     got = np.loadtxt(out)
     assert got.shape == (4, 12)
     assert "ATE RMSE" in r.stdout
+
+
+# ---------------------------------------------------------------------------
+# transform node (fixed-frame re-projection)
+
+
+def test_transform_node_makes_static_world_static():
+    """A sensor translating past a fixed wall: re-projecting each packet by
+    the pose at its stamp (transform.cc:28-74) must collapse the wall back
+    to one plane in the fixed frame, while naive accumulation smears it."""
+    from msst_tpu.utils.packets import packets_to_fixed_frame
+
+    res = 0.002
+    wall_y = 20.0
+    n_pkt = 8
+    pkts, stamps = [], []
+    vels = 5.0  # m/s along +x
+    el = np.radians(packets.VLP16_VERT_ANGLES)
+    for pk in range(n_pkt):
+        t = pk * 0.1
+        x_sensor = vels * t
+        # all lasers see the wall straight ahead (azimuth 0 -> +x in the ROS
+        # frame); a laser at elevation el hits the vertical wall at range
+        # (wall_x - x_sensor) / cos(el)
+        per_laser = (wall_y - x_sensor) / np.cos(el)
+        dists = np.tile(np.tile(per_laser, 2), (12, 1))
+        pkt = bytearray(make_packet([0.0] * 12, dists=dists))
+        pkts.append(np.frombuffer(bytes(pkt), np.uint8))
+        stamps.append(1000.0 + t)
+    packets_arr = np.stack(pkts)
+
+    pose_times = 1000.0 + np.arange(n_pkt + 1) * 0.1
+    poses6 = np.zeros((n_pkt + 1, 6), np.float32)
+    poses6[:, 3] = vels * np.arange(n_pkt + 1) * 0.1  # x(t)
+
+    xyz, ring, inten = packets_to_fixed_frame(packets_arr, stamps,
+                                              pose_times, poses6)
+    # in the fixed frame every wall hit lies on x = wall_y (per-point firing
+    # times add sub-mm motion; allow a few cm for elevation cosine effects)
+    x = xyz[:, 0]
+    assert np.abs(x - wall_y).max() < 0.05, np.abs(x - wall_y).max()
+
+    # naive accumulation (no re-projection) smears the wall by the travel
+    from msst_tpu.utils.packets import decode_packets
+    d = decode_packets(packets_arr)
+    naive_x = d["x"][d["valid"]]
+    assert naive_x.max() - naive_x.min() > 3.0
