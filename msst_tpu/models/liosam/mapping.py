@@ -454,6 +454,10 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
     enough = (front.n_corner > p.edge_feature_min_valid_num) & (
         front.n_surf > p.surf_feature_min_valid_num)
 
+    use_pallas = (p.use_pallas == "on"
+                  or (p.use_pallas == "auto"
+                      and jax.default_backend() == "tpu"))
+
     def register():
         if p.scan2map_method == "voxel":
             res = registration.scan_to_map_voxel(
@@ -461,6 +465,7 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
                 lm.corner_vox, lm.surf_vox,
                 init6, max_iters=p.scan2map_max_iters,
                 eig_threshold=p.degeneracy_threshold,
+                use_pallas=use_pallas,
             )
         else:
             res = registration.scan_to_map(
@@ -469,6 +474,7 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
                 init6, max_iters=p.scan2map_max_iters,
                 candidates_per_cell=p.knn_candidates,
                 eig_threshold=p.degeneracy_threshold,
+                use_pallas=use_pallas,
             )
         return res.pose, res.degenerate, res.iterations
 

@@ -56,6 +56,10 @@ class LioParams:
     surrounding_keyframe_search_radius: float = 50.0
     scan2map_max_iters: int = 30
     scan2map_method: str = "voxel"   # "voxel" (VoxelMap-style, fast) | "knn" (reference-style 5-NN)
+    # route the per-iteration correspondence search through the VMEM-resident
+    # Pallas kernels (ops/voxelmap_pallas, ops/knn_pallas):
+    # "auto" = on TPU only (interpreter elsewhere is a test path, not perf)
+    use_pallas: str = "auto"         # "auto" | "on" | "off"
     degeneracy_threshold: float = 100.0  # JtJ eigenvalue gate (LMOptimization :1244); scales with matched-point count
     vox_corner_leaf: float = 1.0
     vox_surf_leaf: float = 1.0

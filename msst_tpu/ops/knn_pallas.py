@@ -6,8 +6,10 @@ arrays are small (the local map caps fit comfortably in VMEM: 49k points x
 12 B + bucket tables < 1 MB), so this kernel pins the whole grid in VMEM and
 streams query tiles over it — candidate gathers never touch HBM.
 
-Same contract as ``knn.query`` (exactness caveats included); used behind the
-``use_pallas`` switch and falls back to the XLA path off-TPU.
+Same contract as ``knn.query`` (exactness caveats included).  Selected by
+``LioParams.use_pallas`` ("auto" = TPU only) via
+``registration.scan_to_map(..., use_pallas=True)``; off-TPU the interpreter
+runs it for parity tests (not a performance path).
 """
 
 from __future__ import annotations

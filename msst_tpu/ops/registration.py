@@ -76,17 +76,30 @@ class ScanToMapResult(NamedTuple):
     n_surf: Array      # () int32 inlier surfs
 
 
+def _query5(grid, p_world, p_mask, candidates_per_cell, use_pallas):
+    """5-NN via the XLA hash grid, or the VMEM-resident Pallas kernel on TPU
+    (the use_pallas switch; every pcl::KdTreeFLANN site,
+    mapOptmization.cpp:993,1089)."""
+    if use_pallas:
+        from .knn_pallas import query_pallas
+
+        return query_pallas(grid, p_world, p_mask, k=5,
+                            candidates_per_cell=candidates_per_cell,
+                            interpret=jax.default_backend() != "tpu")
+    return knn.query(grid, p_world, p_mask, k=5,
+                     candidates_per_cell=candidates_per_cell)
+
+
 def _corner_coeffs(
     p_world: Array, p_mask: Array, grid: knn.HashGrid, map_xyz: Array,
-    candidates_per_cell: int,
+    candidates_per_cell: int, use_pallas: bool = False,
 ) -> tuple[Array, Array, Array]:
     """Point-to-line residuals: (n (N,3), d (N,), weight-gated mask (N,)).
 
     Mirrors ``cornerOptimization``: 5-NN gated at sqdist < 1, line from the
     largest eigenvector of the neighbor covariance if lam_max > 3*lam_mid,
     distance weighting s = 1 - 0.9|d|, keep s > 0.1."""
-    res = knn.query(grid, p_world, p_mask, k=5,
-                    candidates_per_cell=candidates_per_cell)
+    res = _query5(grid, p_world, p_mask, candidates_per_cell, use_pallas)
     ok = p_mask & jnp.all(res.valid, axis=1) & (res.sqdist[:, 4] < 1.0)
     nbrs = map_xyz[res.idx]                      # (N, 5, 3)
     c = jnp.mean(nbrs, axis=1)                   # (N, 3)
@@ -108,7 +121,7 @@ def _corner_coeffs(
 
 def _surf_coeffs(
     p_world: Array, p_scan: Array, p_mask: Array, grid: knn.HashGrid,
-    map_xyz: Array, candidates_per_cell: int,
+    map_xyz: Array, candidates_per_cell: int, use_pallas: bool = False,
 ) -> tuple[Array, Array, Array]:
     """Point-to-plane residuals, mirroring ``surfOptimization``: plane through
     the 5 neighbors, validity |n.x + d| <= 0.2 for all 5,
@@ -119,8 +132,7 @@ def _surf_coeffs(
     total-least-squares fit (centroid + smallest covariance eigenvector),
     which is equivalent for well-conditioned planes and strictly more robust.
     """
-    res = knn.query(grid, p_world, p_mask, k=5,
-                    candidates_per_cell=candidates_per_cell)
+    res = _query5(grid, p_world, p_mask, candidates_per_cell, use_pallas)
     ok = p_mask & jnp.all(res.valid, axis=1) & (res.sqdist[:, 4] < 1.0)
     nbrs = map_xyz[res.idx]                      # (N, 5, 3)
     c = jnp.mean(nbrs, axis=1)
@@ -148,6 +160,7 @@ def scan_to_map(
     eig_threshold: float = 100.0,
     min_points: int = 50,
     candidates_per_cell: int = 24,
+    use_pallas: bool = False,
 ) -> ScanToMapResult:
     """Fused LOAM scan-to-map Gauss-Newton (``scan2MapOptimization`` +
     ``LMOptimization``).  pose = (roll, pitch, yaw, x, y, z)."""
@@ -158,9 +171,11 @@ def scan_to_map(
         cw = corner_scan @ R.T + t
         sw = surf_scan @ R.T + t
         cn, cd, cm = _corner_coeffs(cw, corner_mask, corner_grid,
-                                    corner_map_xyz, candidates_per_cell)
+                                    corner_map_xyz, candidates_per_cell,
+                                    use_pallas)
         sn, sd, sm = _surf_coeffs(sw, surf_scan, surf_mask, surf_grid,
-                                  surf_map_xyz, candidates_per_cell)
+                                  surf_map_xyz, candidates_per_cell,
+                                  use_pallas)
 
         def jac(n, pts, m):
             jr = jnp.stack(
@@ -231,13 +246,24 @@ def scan_to_map_voxel(
     max_iters: int = 30,
     eig_threshold: float = 100.0,
     min_points: int = 50,
+    use_pallas: bool = False,
 ) -> ScanToMapResult:
     """Same contract as :func:`scan_to_map`, but correspondences come from
     precomputed per-voxel line/plane features (one structured lookup per
     iteration instead of 5-NN gathers) — the TPU-native hot path.  Residual
     definitions, s-weighting, degeneracy projection and convergence gates
-    match the kNN variant."""
+    match the kNN variant.  use_pallas routes the lookup through the
+    VMEM-resident Pallas kernel (voxelmap_pallas)."""
     from . import voxelmap
+
+    if use_pallas:
+        from .voxelmap_pallas import lookup_pallas
+
+        def _lookup(vm, q, m):
+            return lookup_pallas(vm, q, m)
+    else:
+        def _lookup(vm, q, m):
+            return voxelmap.lookup(vm, q, m)
 
     def step(pose, P, degenerate, it):
         R, dRr, dRp, dRy = _rot_and_derivs(pose[:3])
@@ -245,14 +271,14 @@ def scan_to_map_voxel(
         cw = corner_scan @ R.T + t
         sw = surf_scan @ R.T + t
 
-        chit = voxelmap.lookup(corner_vmap, cw, corner_mask)
+        chit = _lookup(corner_vmap, cw, corner_mask)
         cgrad, cr, cok = voxelmap.line_residuals(corner_vmap, cw, chit)
         cs = 1.0 - 0.9 * jnp.abs(cr)
         cm = corner_mask & cok & (cs > 0.1)
         cn = cgrad * cs[:, None]
         cd = cs * cr
 
-        shit = voxelmap.lookup(surf_vmap, sw, surf_mask)
+        shit = _lookup(surf_vmap, sw, surf_mask)
         snrm, sr, sok = voxelmap.plane_residuals(surf_vmap, sw, shit)
         rng = jnp.linalg.norm(surf_scan, axis=1)
         ss = 1.0 - 0.9 * jnp.abs(sr) / jnp.sqrt(jnp.sqrt(jnp.maximum(rng, 1e-6)))

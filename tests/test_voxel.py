@@ -125,3 +125,80 @@ def test_voxelmap_origin_grid_no_fragmentation():
     # lookup finds the containing voxel for every member point
     hit = voxelmap.lookup(m, jnp.asarray(pts), jnp.ones(len(pts), bool))
     assert bool(np.asarray(hit.found).all())
+
+
+def test_voxelmap_lookup_pallas_matches_xla():
+    """Pallas voxel-feature lookup (interpret mode on CPU) == XLA lookup."""
+    import jax
+
+    from msst_tpu.ops import voxelmap
+    from msst_tpu.ops.voxelmap_pallas import lookup_pallas
+
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-8, 8, (4096, 3)).astype(np.float32)
+    pts[:, 2] = 0.05 * rng.standard_normal(4096)  # planar world
+    mask = np.ones(4096, bool)
+    vm = voxelmap.build(jnp.asarray(pts), jnp.asarray(mask), 1.0, 1024,
+                        "plane", table_size=2048)
+
+    q = rng.uniform(-8, 8, (512, 3)).astype(np.float32)
+    q[:, 2] = 0.3 * rng.standard_normal(512)
+    qm = np.ones(512, bool)
+    a = voxelmap.lookup(vm, jnp.asarray(q), jnp.asarray(qm))
+    b = lookup_pallas(vm, jnp.asarray(q), jnp.asarray(qm), interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.found), np.asarray(b.found))
+    f = np.asarray(a.found)
+    np.testing.assert_allclose(np.asarray(a.mean)[f], np.asarray(b.mean)[f],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.direction)[f],
+                               np.asarray(b.direction)[f], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.d)[f], np.asarray(b.d)[f],
+                               atol=1e-6)
+
+
+def test_scan_to_map_voxel_pallas_matches_xla():
+    """scan_to_map_voxel(use_pallas=True) (interpreted) == the XLA path."""
+    import jax
+
+    from msst_tpu.ops import registration, voxelmap
+
+    rng = np.random.default_rng(9)
+    # planar ground + two walls -> well-constrained registration
+    n = 4096
+    ground = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    ground[:, 2] = 0.02 * rng.standard_normal(n)
+    wall = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    wall[:, 1] = 8.0 + 0.02 * rng.standard_normal(n)
+    wall[:, 2] = np.abs(wall[:, 2]) % 3
+    map_pts = np.concatenate([ground, wall])
+    mask = np.ones(len(map_pts), bool)
+
+    svm = voxelmap.build(jnp.asarray(map_pts), jnp.asarray(mask), 1.0, 4096,
+                         "plane", table_size=8192)
+    cvm = voxelmap.build(jnp.zeros((8, 3), np.float32), jnp.zeros(8, bool),
+                         1.0, 8, "line", table_size=16)
+
+    scan = map_pts[rng.choice(len(map_pts), 1024, replace=False)]
+    true_pose = np.asarray([0.01, -0.02, 0.05, 0.3, -0.2, 0.1], np.float32)
+    from msst_tpu.ops import se3
+    T = se3.Pose.from_vec6(jnp.asarray(true_pose))
+    scan_local = np.asarray(T.inverse().apply(jnp.asarray(scan)))
+    cmask = np.zeros(8, bool)
+
+    kw = dict(max_iters=10, eig_threshold=10.0)
+    a = registration.scan_to_map_voxel(
+        jnp.zeros((8, 3), np.float32), jnp.asarray(cmask),
+        jnp.asarray(scan_local), jnp.asarray(np.ones(1024, bool)),
+        cvm, svm, jnp.zeros(6, jnp.float32), use_pallas=False, **kw)
+    b = registration.scan_to_map_voxel(
+        jnp.zeros((8, 3), np.float32), jnp.asarray(cmask),
+        jnp.asarray(scan_local), jnp.asarray(np.ones(1024, bool)),
+        cvm, svm, jnp.zeros(6, jnp.float32), use_pallas=True, **kw)
+    np.testing.assert_allclose(np.asarray(a.pose), np.asarray(b.pose),
+                               atol=1e-5)
+    # and both recover the true pose (z / roll / pitch well constrained by
+    # the ground; y by the wall)
+    for res in (a, b):
+        pose = np.asarray(res.pose)
+        assert abs(pose[5] - true_pose[5]) < 0.05
+        assert abs(pose[4] - true_pose[4]) < 0.1
