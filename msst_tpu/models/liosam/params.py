@@ -58,8 +58,12 @@ class LioParams:
     scan2map_method: str = "voxel"   # "voxel" (VoxelMap-style, fast) | "knn" (reference-style 5-NN)
     # route the per-iteration correspondence search through the VMEM-resident
     # Pallas kernels (ops/voxelmap_pallas, ops/knn_pallas):
-    # "auto" = on TPU only (interpreter elsewhere is a test path, not perf)
-    use_pallas: str = "auto"         # "auto" | "on" | "off"
+    # "auto" = on TPU only (interpreter elsewhere is a test path, not perf).
+    # Default "off": Mosaic's gather lowering only supports same-shape 2-D
+    # take_along_axis (lowering.py _gather_lowering_rule), so the kernels'
+    # table gathers need the dynamic_gather formulation before "auto" can
+    # ship — see docs/DESIGN.md "Pallas status".
+    use_pallas: str = "off"          # "auto" | "on" | "off"
     degeneracy_threshold: float = 100.0  # JtJ eigenvalue gate (LMOptimization :1244); scales with matched-point count
     vox_corner_leaf: float = 1.0
     vox_surf_leaf: float = 1.0
