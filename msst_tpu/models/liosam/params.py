@@ -56,6 +56,7 @@ class LioParams:
     surrounding_keyframe_search_radius: float = 50.0
     scan2map_max_iters: int = 30
     scan2map_method: str = "voxel"   # "voxel" (VoxelMap-style, fast) | "knn" (reference-style 5-NN)
+    vox_source: str = "downsampled"  # voxel-fit input: "downsampled" (reference-style centroid pass first, lower drift) | "direct" (raw keyframe features, cheaper rebuild)
     # route the per-iteration correspondence search through the VMEM-resident
     # Pallas kernels (ops/voxelmap_pallas, ops/knn_pallas):
     # "auto" = on TPU only (interpreter elsewhere is a test path, not perf).

@@ -90,11 +90,15 @@ def _empty_local_map(p: LioParams) -> LocalMap:
                               jnp.zeros((c,), bool), leaf, c, kind,
                               table_size=2 * c)
 
+    # voxel mode keeps only tiny placeholder map clouds (the voxel-feature
+    # tables are the map; the flat clouds feed the knn path only)
+    cc = p.map_corner_cap if not use_vox else 8
+    sc = p.map_surf_cap if not use_vox else 8
     return LocalMap(
-        corner_xyz=jnp.zeros((p.map_corner_cap, 3), jnp.float32),
-        corner_mask=jnp.zeros((p.map_corner_cap,), bool),
-        surf_xyz=jnp.zeros((p.map_surf_cap, 3), jnp.float32),
-        surf_mask=jnp.zeros((p.map_surf_cap,), bool),
+        corner_xyz=jnp.zeros((cc, 3), jnp.float32),
+        corner_mask=jnp.zeros((cc,), bool),
+        surf_xyz=jnp.zeros((sc, 3), jnp.float32),
+        surf_mask=jnp.zeros((sc,), bool),
         corner_grid=grid(p.map_corner_cap),
         surf_grid=grid(p.map_surf_cap),
         corner_vox=vox(p.vox_corner_cap, p.vox_corner_leaf, "line"),

@@ -24,6 +24,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from . import segments
+
 Array = jax.Array
 
 # Large prime multipliers for the 3D spatial hash (standard Teschner et al.).
@@ -59,7 +61,9 @@ def _hash_coords(c: Array, table_size: int) -> Array:
 
 
 def build(xyz: Array, mask: Array, cell_size: float, table_size: int = 8192) -> HashGrid:
-    """O(N log N) build: hash, sort, bucket offsets via searchsorted."""
+    """O(N log N) build: hash, sort, bucket offsets via one boundary scatter
+    (segments.segment_boundaries; searchsorted's dependent-gather chain is
+    ~10x slower on TPU)."""
     n = xyz.shape[0]
     cell = jnp.asarray(cell_size, jnp.float32)
     coords = jnp.floor(xyz / cell).astype(jnp.int32)
@@ -67,8 +71,7 @@ def build(xyz: Array, mask: Array, cell_size: float, table_size: int = 8192) -> 
     h = jnp.where(mask, h, table_size)  # invalid -> overflow bucket
     order = jnp.argsort(h)
     h_sorted = h[order]
-    starts = jnp.searchsorted(h_sorted, jnp.arange(table_size, dtype=h_sorted.dtype))
-    ends = jnp.searchsorted(h_sorted, jnp.arange(1, table_size + 1, dtype=h_sorted.dtype))
+    starts, ends = segments.segment_boundaries(h_sorted, table_size)
     return HashGrid(
         xyz=xyz[order],
         orig_idx=order.astype(jnp.int32),

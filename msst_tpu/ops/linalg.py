@@ -65,16 +65,42 @@ def _eigvec_for(A: Array, lam: Array, eps: float = 1e-12) -> Array:
 def sym3x3_eigh(A: Array) -> tuple[Array, Array]:
     """(eigvals ascending (..., 3), eigvecs (..., 3, 3) with vecs in rows).
 
-    Closed-form; for near-degenerate spectra the vectors of the distinct
-    eigenvalues are accurate and the remaining one is completed by cross
-    product, which is exactly what the registration math needs (largest/
-    smallest eigenvector directions)."""
+    Closed-form, batched, and ROBUST to repeated eigenvalues: the returned
+    rows are always an orthonormal frame.  With exactly-degenerate moments
+    (all points of a voxel on a perfect line/plane — common now that the
+    demeaned segment reductions are exact) the cross-product eigenvector
+    for a REPEATED eigenvalue is numerically undefined; reconstructing a
+    clamped covariance from a non-orthogonal frame made NDT inverses blow
+    up to ~1e6.  The fix anchors on the eigenvector of the best-separated
+    eigenvalue (always well-defined), orthogonalizes the other against it,
+    and falls back to an arbitrary perpendicular when the spectrum is fully
+    degenerate."""
     vals = sym3x3_eigvals(A)
     v_hi = _eigvec_for(A, vals[..., 2])
     v_lo = _eigvec_for(A, vals[..., 0])
+    hi_reliable = ((vals[..., 2] - vals[..., 1])
+                   >= (vals[..., 1] - vals[..., 0]))[..., None]
+    anchor = jnp.where(hi_reliable, v_hi, v_lo)
+    other = jnp.where(hi_reliable, v_lo, v_hi)
+    # fully-degenerate spectra give a ~0 anchor: fall back to e_x
+    an2 = jnp.sum(anchor * anchor, axis=-1, keepdims=True)
+    e_x = jnp.zeros_like(anchor).at[..., 0].set(1.0)
+    anchor = jnp.where(an2 < 1e-12, e_x, anchor / jnp.sqrt(
+        jnp.maximum(an2, 1e-24)))
+    # orthogonalize `other` against the anchor; if they are parallel or
+    # `other` degenerated too, use any unit vector perpendicular to anchor
+    w = other - jnp.sum(other * anchor, axis=-1, keepdims=True) * anchor
+    wn2 = jnp.sum(w * w, axis=-1, keepdims=True)
+    ax = jnp.argmin(jnp.abs(anchor), axis=-1)
+    e = jax.nn.one_hot(ax, 3, dtype=A.dtype)
+    w_fb = jnp.cross(anchor, e)
+    w_fb = w_fb / jnp.maximum(
+        jnp.linalg.norm(w_fb, axis=-1, keepdims=True), 1e-12)
+    w = jnp.where(wn2 < 1e-12, w_fb,
+                  w / jnp.sqrt(jnp.maximum(wn2, 1e-24)))
+    v_hi = jnp.where(hi_reliable, anchor, w)
+    v_lo = jnp.where(hi_reliable, w, anchor)
     v_mid = jnp.cross(v_hi, v_lo)
-    n = jnp.maximum(jnp.linalg.norm(v_mid, axis=-1, keepdims=True), 1e-12)
-    v_mid = v_mid / n
     vecs = jnp.stack([v_lo, v_mid, v_hi], axis=-2)
     return vals, vecs
 

@@ -32,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import knn, linalg, se3
+from . import knn, linalg, se3, segments
 
 Array = jax.Array
 
@@ -257,12 +257,16 @@ def scan_to_map_voxel(
     from . import voxelmap
 
     if use_pallas:
-        from .voxelmap_pallas import lookup_pallas
+        from .voxelmap_pallas import lookup_pallas, prepare_tables
 
-        def _lookup(vm, q, m):
-            return lookup_pallas(vm, q, m)
+        # kernel-ready layouts computed once, outside the GN loop
+        _tables = {"c": prepare_tables(corner_vmap),
+                   "s": prepare_tables(surf_vmap)}
+
+        def _lookup(which, vm, q, m):
+            return lookup_pallas(_tables[which], q, m)
     else:
-        def _lookup(vm, q, m):
+        def _lookup(which, vm, q, m):
             return voxelmap.lookup(vm, q, m)
 
     def step(pose, P, degenerate, it):
@@ -271,14 +275,14 @@ def scan_to_map_voxel(
         cw = corner_scan @ R.T + t
         sw = surf_scan @ R.T + t
 
-        chit = _lookup(corner_vmap, cw, corner_mask)
+        chit = _lookup("c", corner_vmap, cw, corner_mask)
         cgrad, cr, cok = voxelmap.line_residuals(corner_vmap, cw, chit)
         cs = 1.0 - 0.9 * jnp.abs(cr)
         cm = corner_mask & cok & (cs > 0.1)
         cn = cgrad * cs[:, None]
         cd = cs * cr
 
-        shit = _lookup(surf_vmap, sw, surf_mask)
+        shit = _lookup("s", surf_vmap, sw, surf_mask)
         snrm, sr, sok = voxelmap.plane_residuals(surf_vmap, sw, shit)
         rng = jnp.linalg.norm(surf_scan, axis=1)
         ss = 1.0 - 0.9 * jnp.abs(sr) / jnp.sqrt(jnp.sqrt(jnp.maximum(rng, 1e-6)))
@@ -529,14 +533,35 @@ def build_ndt_map(xyz: Array, mask: Array, resolution: float,
     new_voxel = new_voxel.at[0].set(True) & valid_s
     seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1
     seg = jnp.where(valid_s, seg, capacity)
+    # cell-center-demeaned sorted-segment moments (see ops/segments.py and
+    # voxelmap.build: plain prefix scans beat scatters ~7x on v5e, and the
+    # demeaning keeps f32 precision at metric magnitudes)
     w = valid_s.astype(xyz.dtype)
-    cnt = jax.ops.segment_sum(w, seg, num_segments=capacity + 1)[:capacity]
-    sums = jax.ops.segment_sum(xyz_s * w[:, None], seg, num_segments=capacity + 1)[:capacity]
-    outer = jnp.einsum("ni,nj->nij", xyz_s, xyz_s) * w[:, None, None]
-    sq = jax.ops.segment_sum(outer, seg, num_segments=capacity + 1)[:capacity]
+    bounds = segments.segment_boundaries(seg, capacity)
+    cell_s = jnp.stack([cs[:, 2], cs[:, 1], cs[:, 0]], axis=1)  # (cx,cy,cz)
+    center_s = (cell_s.astype(xyz.dtype) + 0.5) * resolution
+    r_s = (xyz_s - center_s) * w[:, None]
+    iu, ju = jnp.array([0, 0, 0, 1, 1, 2]), jnp.array([0, 1, 2, 1, 2, 2])
+    outer6 = r_s[:, iu] * r_s[:, ju]
+    moments = segments.sorted_segment_sum(
+        jnp.concatenate([r_s, outer6, w[:, None]], axis=1), seg, capacity,
+        boundaries=bounds, compensated=False)
+    rsums, sq6, cnt = moments[:, :3], moments[:, 3:9], moments[:, 9]
+    cell_v = segments.sorted_segment_first(cell_s, seg, capacity,
+                                           boundaries=bounds)
     denom = jnp.maximum(cnt, 1.0)
-    mu = sums / denom[:, None]
-    cov = sq / denom[:, None, None] - jnp.einsum("ni,nj->nij", mu, mu)
+    rmu = rsums / denom[:, None]
+    mu = (cell_v.astype(xyz.dtype) + 0.5) * resolution + rmu
+    sq = sq6[:, jnp.array([0, 1, 2, 1, 3, 4, 2, 4, 5])
+             ].reshape(capacity, 3, 3)
+    cov = sq / denom[:, None, None] - jnp.einsum("ni,nj->nij", rmu, rmu)
+    # Sensor-noise floor BEFORE the eigen clamp: the demeaned moment math is
+    # exact, so a cell of coplanar/coincident points yields lambda ~ 0 and a
+    # ~1e6 inverse that dominates the NDT objective (the old raw-moment
+    # cancellation noise used to hide this).  1% of the cell size models
+    # ranging noise and bounds the peak inverse.
+    noise = (0.01 * resolution) ** 2
+    cov = cov + noise * jnp.eye(3, dtype=xyz.dtype)
     # Magnusson regularization: clamp small eigenvalues to 1e-2 * largest
     vals, vecs = linalg.sym3x3_eigh(cov)
     lam_max = jnp.maximum(vals[:, 2], 1e-6)

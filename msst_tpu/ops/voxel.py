@@ -15,6 +15,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from . import segments
 from .pointcloud import Cloud
 
 Array = jax.Array
@@ -55,17 +56,24 @@ def voxel_downsample(
          ^ c[:, 1] * jnp.int32(19349663)
          ^ c[:, 2] * jnp.int32(83492791))
     h = jnp.where(invalid, jnp.int32(2**31 - 1), h)
-    keys = [cz, cy, cx]
+    keys = [h]
     if extra_key is not None:
         keys.append(jnp.where(invalid, _BIG, extra_key))
-    keys.append(h)
-    # jnp.lexsort: last key is primary.
-    order = jnp.lexsort(keys)
-
-    cs = jnp.stack([k[order] for k in keys], axis=1)  # (N, K) sorted coords
-    valid_s = cloud.mask[order]
-    xyz_s = cloud.xyz[order]
-    attrs_s = cloud.attrs[order]
+    keys += [cx, cy, cz]
+    # one multi-operand sort (primary key first): the values ride the sort
+    # network instead of being re-gathered by an argsort permutation — the
+    # same rewrite as voxel_downsample_packed, ~2x at scan sizes on v5e
+    A = cloud.attrs.shape[1]
+    sorted_ops = jax.lax.sort(
+        (*keys, cloud.mask, cloud.xyz[:, 0], cloud.xyz[:, 1],
+         cloud.xyz[:, 2], *(cloud.attrs[:, j] for j in range(A))),
+        num_keys=len(keys))
+    nk = len(keys)
+    cs = jnp.stack(sorted_ops[:nk], axis=1)           # (N, K) sorted keys
+    valid_s = sorted_ops[nk]
+    xyz_s = jnp.stack(sorted_ops[nk + 1:nk + 4], axis=1)
+    attrs_s = (jnp.stack(sorted_ops[nk + 4:], axis=1) if A
+               else cloud.attrs)
 
     new_voxel = jnp.any(cs != jnp.roll(cs, 1, axis=0), axis=1)
     new_voxel = new_voxel.at[0].set(True)
@@ -73,15 +81,26 @@ def voxel_downsample(
     seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1  # voxel index per point
     seg = jnp.where(valid_s, seg, n_out)  # invalid points -> dropped segment
 
+    # Demeaned-by-cell-center residual sums via plain prefix scans: exact
+    # where it matters, fast everywhere (see voxel_downsample_packed /
+    # segments.py).  The last 3 key columns are (cx, cy, cz).
+    cell_s = cs[:, nk - 3:nk]
+    center_s = (cell_s.astype(xyz_s.dtype) + 0.5) * leaf
     w = valid_s.astype(xyz_s.dtype)[:, None]
-    sums = jax.ops.segment_sum(xyz_s * w, seg, num_segments=n_out + 1)[:n_out]
-    asums = jax.ops.segment_sum(attrs_s * w, seg, num_segments=n_out + 1)[:n_out]
-    counts = jax.ops.segment_sum(w[:, 0], seg, num_segments=n_out + 1)[:n_out]
+    r_s = (xyz_s - center_s) * w
+    bounds = segments.segment_boundaries(seg, n_out)
+    vals = segments.sorted_segment_sum(
+        jnp.concatenate([r_s, attrs_s * w, w], axis=1), seg, n_out,
+        boundaries=bounds, compensated=False)
+    rsums, asums, counts = vals[:, :3], vals[:, 3:-1], vals[:, -1]
+    cell_v = segments.sorted_segment_first(cell_s, seg, n_out,
+                                           boundaries=bounds)
+    center_v = (cell_v.astype(xyz_s.dtype) + 0.5) * leaf
 
     denom = jnp.maximum(counts, 1.0)[:, None]
     n_voxels = jnp.sum(new_voxel.astype(jnp.int32))
     mask_out = jnp.arange(n_out) < jnp.minimum(n_voxels, n_out)
-    return Cloud(sums / denom, mask_out, asums / denom)
+    return Cloud(center_v + rsums / denom, mask_out, asums / denom)
 
 
 def voxel_downsample_packed(
@@ -108,25 +127,49 @@ def voxel_downsample_packed(
     ok = cloud.mask & in_range
     key = (c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2]
     key = jnp.where(ok, key, jnp.int32(2**30))
-    order = jnp.argsort(key)
-    key_s = key[order]
-    valid_s = ok[order]
-    xyz_s = cloud.xyz[order]
-    attrs_s = cloud.attrs[order]
+    # multi-operand sort carries the values with the key — no argsort and no
+    # (N, 3) random row-gathers afterwards (each such gather is ~2.4 ms at
+    # 262k rows on v5e; the sort network moves the extra operands for much
+    # less).  Validity rides in the key (sentinel 2^30 sorts last).
+    A = cloud.attrs.shape[1]
+    sorted_ops = jax.lax.sort(
+        (key, cloud.xyz[:, 0], cloud.xyz[:, 1], cloud.xyz[:, 2],
+         *(cloud.attrs[:, j] for j in range(A))),
+        num_keys=1)
+    key_s = sorted_ops[0]
+    xyz_s = jnp.stack(sorted_ops[1:4], axis=1)
+    attrs_s = (jnp.stack(sorted_ops[4:], axis=1) if A
+               else cloud.attrs)
+    valid_s = key_s < jnp.int32(2**30)
 
     new_voxel = key_s != jnp.roll(key_s, 1)
     new_voxel = new_voxel.at[0].set(True) & valid_s
     seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1
     seg = jnp.where(valid_s, seg, n_out)
 
+    # Demean positions by each point's CELL CENTER before the prefix-sum
+    # reduction: residuals are <= leaf/2, so a plain (fast) cumsum keeps
+    # full precision regardless of how far the cloud sits from the origin
+    # (segments.py explains why naive prefixes of raw coords are unusable).
+    # Cell centers decode from the packed key, for points and voxels alike.
+    def decode_center(k):
+        cxyz = jnp.stack([(k >> 20) & 1023, (k >> 10) & 1023, k & 1023],
+                         axis=-1)
+        return origin + (cxyz.astype(xyz_s.dtype) - he + 0.5) * leaf
+
     w = valid_s.astype(xyz_s.dtype)[:, None]
-    sums = jax.ops.segment_sum(xyz_s * w, seg, num_segments=n_out + 1)[:n_out]
-    asums = jax.ops.segment_sum(attrs_s * w, seg, num_segments=n_out + 1)[:n_out]
-    counts = jax.ops.segment_sum(w[:, 0], seg, num_segments=n_out + 1)[:n_out]
+    r_s = (xyz_s - decode_center(key_s)) * w
+    bounds = segments.segment_boundaries(seg, n_out)
+    vals = segments.sorted_segment_sum(
+        jnp.concatenate([r_s, attrs_s * w, w], axis=1), seg, n_out,
+        boundaries=bounds, compensated=False)
+    rsums, asums, counts = vals[:, :3], vals[:, 3:-1], vals[:, -1]
+    center_v = decode_center(segments.sorted_segment_first(key_s, seg, n_out,
+                                                           boundaries=bounds))
     denom = jnp.maximum(counts, 1.0)[:, None]
     n_voxels = jnp.sum(new_voxel.astype(jnp.int32))
     mask_out = jnp.arange(n_out) < jnp.minimum(n_voxels, n_out)
-    return Cloud(sums / denom, mask_out, asums / denom)
+    return Cloud(center_v + rsums / denom, mask_out, asums / denom)
 
 
 def voxel_downsample_first(

@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import linalg
+from . import linalg, segments
 
 Array = jax.Array
 
@@ -100,42 +100,61 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
                 else jnp.asarray(origin, jnp.float32))
     c = jnp.floor((xyz - origin_f) / leaf_f).astype(jnp.int32)
     if origin is not None:
+        # multi-operand sort: values ride the sort network, no argsort and
+        # no random row-gathers after (see voxel_downsample_packed); cells
+        # decode from the sorted packed key
         rel = c + 512
         in_range = jnp.all((rel >= 0) & (rel < 1024), axis=1)
         mask = mask & in_range
         key = (rel[:, 0] << 20) | (rel[:, 1] << 10) | rel[:, 2]
         key = jnp.where(mask, key, jnp.int32(2**30))
-        order = jnp.argsort(key)
+        key_s, x0, x1, x2 = jax.lax.sort(
+            (key, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1)
+        xyz_s = jnp.stack([x0, x1, x2], axis=1)
+        valid_s = key_s < jnp.int32(2**30)
+        rel_s = jnp.stack([(key_s >> 20) & 1023, (key_s >> 10) & 1023,
+                           key_s & 1023], axis=1)
+        cs = jnp.where(valid_s[:, None], rel_s - 512, _BIG)
     else:
         kx = jnp.where(mask, c[:, 0], _BIG)
         ky = jnp.where(mask, c[:, 1], _BIG)
         kz = jnp.where(mask, c[:, 2], _BIG)
         order = jnp.lexsort([kz, ky, kx])
-    cx = jnp.where(mask, c[:, 0], _BIG)
-    cy = jnp.where(mask, c[:, 1], _BIG)
-    cz = jnp.where(mask, c[:, 2], _BIG)
-    cs = jnp.stack([cx[order], cy[order], cz[order]], axis=1)
-    valid_s = mask[order]
-    xyz_s = xyz[order]
+        cs = jnp.stack([kx[order], ky[order], kz[order]], axis=1)
+        valid_s = mask[order]
+        xyz_s = xyz[order]
 
     new_voxel = jnp.any(cs != jnp.roll(cs, 1, axis=0), axis=1)
     new_voxel = new_voxel.at[0].set(True) & valid_s
     seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1
     seg = jnp.where(valid_s, seg, capacity)
 
+    # Sorted-segment reductions: one prefix scan + boundary gathers instead
+    # of scatters (segments.py; scatter = 3.5 ms vs cumsum = 0.5 ms at
+    # (262k, 13) on v5e).  Positions are demeaned by their CELL CENTER
+    # first, so residuals are <= leaf/2 and plain f32 prefixes keep metric
+    # precision for both moments; the second moments use the 6 unique
+    # entries of the symmetric outer product.
     w = valid_s.astype(xyz.dtype)
-    cnt = jax.ops.segment_sum(w, seg, num_segments=capacity + 1)[:capacity]
-    sums = jax.ops.segment_sum(xyz_s * w[:, None], seg,
-                               num_segments=capacity + 1)[:capacity]
-    outer = jnp.einsum("ni,nj->nij", xyz_s, xyz_s) * w[:, None, None]
-    sq = jax.ops.segment_sum(outer, seg, num_segments=capacity + 1)[:capacity]
-    coords_v = jax.ops.segment_max(
-        jnp.where(valid_s[:, None], cs, -_BIG), seg,
-        num_segments=capacity + 1)[:capacity]
+    bounds = segments.segment_boundaries(seg, capacity)
+    center_s = origin_f + (cs.astype(xyz.dtype) + 0.5) * leaf_f
+    r_s = (xyz_s - center_s) * w[:, None]
+    iu, ju = jnp.array([0, 0, 0, 1, 1, 2]), jnp.array([0, 1, 2, 1, 2, 2])
+    outer6 = r_s[:, iu] * r_s[:, ju]
+    moments = segments.sorted_segment_sum(
+        jnp.concatenate([r_s, outer6, w[:, None]], axis=1), seg, capacity,
+        boundaries=bounds, compensated=False)
+    rsums, sq6, cnt = moments[:, :3], moments[:, 3:9], moments[:, 9]
+    coords_v = segments.sorted_segment_first(cs, seg, capacity,
+                                             boundaries=bounds)
+    coords_v = jnp.where((bounds[0] < bounds[1])[:, None], coords_v, -_BIG)
+    center_v = origin_f + (coords_v.astype(xyz.dtype) + 0.5) * leaf_f
 
     denom = jnp.maximum(cnt, 1.0)
-    mu = sums / denom[:, None]
-    cov = sq / denom[:, None, None] - jnp.einsum("ni,nj->nij", mu, mu)
+    rmu = rsums / denom[:, None]
+    mu = center_v + rmu
+    sq = sq6[:, jnp.array([0, 1, 2, 1, 3, 4, 2, 4, 5])].reshape(capacity, 3, 3)
+    cov = sq / denom[:, None, None] - jnp.einsum("ni,nj->nij", rmu, rmu)
     vals, vecs = linalg.sym3x3_eigh(cov)   # ascending; rows are eigenvectors
 
     n_vox = jnp.sum(new_voxel.astype(jnp.int32))
@@ -156,8 +175,7 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
     h = jnp.where(occupied, _hash3(coords_v, table_size), table_size)
     horder = jnp.argsort(h)
     h_sorted = h[horder]
-    starts = jnp.searchsorted(h_sorted, jnp.arange(table_size, dtype=h_sorted.dtype))
-    ends = jnp.searchsorted(h_sorted, jnp.arange(1, table_size + 1, dtype=h_sorted.dtype))
+    starts, ends = segments.segment_boundaries(h_sorted, table_size)
 
     def perm(a):
         return a[horder]
