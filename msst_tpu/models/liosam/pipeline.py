@@ -61,7 +61,7 @@ class LioSam:
     """Tightly-coupled LiDAR-inertial odometry, one compiled step per scan."""
 
     def __init__(self, params: Optional[LioParams] = None,
-                 readback_interval: int = 8, window: int = 1):
+                 readback_interval: Optional[int] = None, window: int = 1):
         self.p = params or LioParams()
         # scans dispatched per compiled program via process_window(); each
         # dispatch through the tunneled runtime pays a fixed ~25-35 ms, so
@@ -79,9 +79,14 @@ class LioSam:
         self._loop_every = max(
             1, int(round(1.0 / max(self.p.loop_closure_frequency, 1e-3) * 10))
         )  # scans between loop attempts, assuming ~10 Hz scans
-        # device->host readbacks have ~tens-of-ms latency on tunneled TPUs;
-        # poses are fetched in batches of `readback_interval` scans so the
-        # device pipeline never stalls on a per-scan sync
+        # device->host readbacks have ~tens-of-ms latency on tunneled TPUs
+        # AND synchronize the pipeline (the transfer blocks on the last
+        # dispatched window), so poses are fetched in batches. The default
+        # scales with the dispatch window: flushing every window would
+        # re-serialize host packing/upload against device execution and
+        # measured 2x slower end to end (micro-profile, docs/DESIGN.md).
+        if readback_interval is None:
+            readback_interval = max(8, 4 * self.window)
         self._readback_interval = max(1, readback_interval)
         self._pending: list = []  # (time, device pose_matrix)
 

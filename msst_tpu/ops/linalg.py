@@ -49,6 +49,16 @@ def sym3x3_eigvals(A: Array) -> Array:
 def _eigvec_for(A: Array, lam: Array, eps: float = 1e-12) -> Array:
     """Eigenvector of symmetric 3x3 for eigenvalue lam via the largest
     cross-product of rows of (A - lam I)."""
+    return _eigvec_with_quality(A, lam, eps)[0]
+
+
+def _eigvec_with_quality(A: Array, lam: Array, eps: float = 1e-12
+                         ) -> tuple[Array, Array]:
+    """(unit eigenvector, well-defined?) for eigenvalue lam.
+
+    The vector is ill-defined when lam is (numerically) a repeated root: all
+    row cross-products of B = A - lam I collapse toward zero.  `good` gates
+    on the best cross-norm relative to ||B||_F^2 (scale-free)."""
     B = A - lam[..., None, None] * jnp.eye(3, dtype=A.dtype)
     r0, r1, r2 = B[..., 0, :], B[..., 1, :], B[..., 2, :]
     c01 = jnp.cross(r0, r1)
@@ -59,48 +69,53 @@ def _eigvec_for(A: Array, lam: Array, eps: float = 1e-12) -> Array:
     n12 = jnp.sum(c12 * c12, axis=-1, keepdims=True)
     v = jnp.where(n01 >= jnp.maximum(n02, n12), c01, jnp.where(n02 >= n12, c02, c12))
     n = jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps)
-    return v / jnp.sqrt(n)
+    s2 = jnp.sum(B * B, axis=(-2, -1))
+    q = jnp.maximum(jnp.maximum(n01, n02), n12)[..., 0]
+    good = q > 1e-10 * s2 * s2 + 1e-30
+    return v / jnp.sqrt(n), good
 
 
 def sym3x3_eigh(A: Array) -> tuple[Array, Array]:
     """(eigvals ascending (..., 3), eigvecs (..., 3, 3) with vecs in rows).
 
-    Closed-form, batched, and ROBUST to repeated eigenvalues: the returned
-    rows are always an orthonormal frame.  With exactly-degenerate moments
-    (all points of a voxel on a perfect line/plane — common now that the
-    demeaned segment reductions are exact) the cross-product eigenvector
-    for a REPEATED eigenvalue is numerically undefined; reconstructing a
-    clamped covariance from a non-orthogonal frame made NDT inverses blow
-    up to ~1e6.  The fix anchors on the eigenvector of the best-separated
-    eigenvalue (always well-defined), orthogonalizes the other against it,
-    and falls back to an arbitrary perpendicular when the spectrum is fully
-    degenerate."""
+    Closed-form, batched, and ROBUST to repeated eigenvalues.  With
+    exactly-degenerate moments (all points of a voxel on a perfect
+    line/plane — common now that the demeaned segment reductions are exact)
+    the cross-product eigenvector for a REPEATED eigenvalue is numerically
+    undefined; reconstructing a clamped covariance from such a frame made
+    NDT inverses blow up to ~1e6.  Ill-defined vectors (quality-gated in
+    `_eigvec_with_quality`) are replaced by a unit perpendicular of the
+    well-defined one (or a fixed frame when the spectrum is fully
+    degenerate); healthy inputs reproduce the original closed form
+    bit-for-bit, because downstream consumers (FPFH normals ->
+    correspondences -> GNC basins) are sensitive to tiny systematic changes
+    in healthy outputs."""
     vals = sym3x3_eigvals(A)
-    v_hi = _eigvec_for(A, vals[..., 2])
-    v_lo = _eigvec_for(A, vals[..., 0])
-    hi_reliable = ((vals[..., 2] - vals[..., 1])
-                   >= (vals[..., 1] - vals[..., 0]))[..., None]
-    anchor = jnp.where(hi_reliable, v_hi, v_lo)
-    other = jnp.where(hi_reliable, v_lo, v_hi)
-    # fully-degenerate spectra give a ~0 anchor: fall back to e_x
-    an2 = jnp.sum(anchor * anchor, axis=-1, keepdims=True)
-    e_x = jnp.zeros_like(anchor).at[..., 0].set(1.0)
-    anchor = jnp.where(an2 < 1e-12, e_x, anchor / jnp.sqrt(
-        jnp.maximum(an2, 1e-24)))
-    # orthogonalize `other` against the anchor; if they are parallel or
-    # `other` degenerated too, use any unit vector perpendicular to anchor
-    w = other - jnp.sum(other * anchor, axis=-1, keepdims=True) * anchor
-    wn2 = jnp.sum(w * w, axis=-1, keepdims=True)
-    ax = jnp.argmin(jnp.abs(anchor), axis=-1)
-    e = jax.nn.one_hot(ax, 3, dtype=A.dtype)
-    w_fb = jnp.cross(anchor, e)
-    w_fb = w_fb / jnp.maximum(
-        jnp.linalg.norm(w_fb, axis=-1, keepdims=True), 1e-12)
-    w = jnp.where(wn2 < 1e-12, w_fb,
-                  w / jnp.sqrt(jnp.maximum(wn2, 1e-24)))
-    v_hi = jnp.where(hi_reliable, anchor, w)
-    v_lo = jnp.where(hi_reliable, w, anchor)
+    v_hi, hi_ok = _eigvec_with_quality(A, vals[..., 2])
+    v_lo, lo_ok = _eigvec_with_quality(A, vals[..., 0])
+
+    def perp_of(g):
+        # any unit vector perpendicular to unit-ish g
+        ax = jnp.argmin(jnp.abs(g), axis=-1)
+        e = jax.nn.one_hot(ax, 3, dtype=A.dtype)
+        w = jnp.cross(g, e)
+        return w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True),
+                               1e-12)
+
+    # Repair ONLY ill-defined vectors (quality-gated), so well-conditioned
+    # inputs reproduce the original closed form bit-for-bit: downstream
+    # consumers (FPFH normals -> correspondence -> GNC basins) are sensitive
+    # to even tiny systematic changes in healthy outputs.
+    e_x = jnp.zeros_like(v_hi).at[..., 0].set(1.0)
+    e_z = jnp.zeros_like(v_hi).at[..., 2].set(1.0)
+    both_bad = (~hi_ok & ~lo_ok)[..., None]
+    v_hi = jnp.where(both_bad, e_z,
+                     jnp.where(hi_ok[..., None], v_hi, perp_of(v_lo)))
+    v_lo = jnp.where(both_bad, e_x,
+                     jnp.where(lo_ok[..., None], v_lo, perp_of(v_hi)))
     v_mid = jnp.cross(v_hi, v_lo)
+    n = jnp.maximum(jnp.linalg.norm(v_mid, axis=-1, keepdims=True), 1e-12)
+    v_mid = v_mid / n
     vecs = jnp.stack([v_lo, v_mid, v_hi], axis=-2)
     return vals, vecs
 
