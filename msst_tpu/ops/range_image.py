@@ -73,9 +73,12 @@ def _interp_rotation(times: Array, rots: Array, n_valid: Array, t_query: Array) 
     Matches ``findRotation`` :446-471: clamp to last sample beyond the window,
     take front sample if query precedes the window.
     """
-    # searchsorted over the valid prefix; invalid tail is +inf
+    # one-shot bracket search over the valid prefix (invalid tail is +inf):
+    # the timeline is short (~2T+2 entries), so summing comparisons is one
+    # fused VPU pass, while jnp.searchsorted's dependent-gather binary search
+    # costs ~1.8 ms for 28.8k queries on v5e (the frontend's hottest op)
     t_safe = jnp.where(jnp.arange(times.shape[0]) < n_valid, times, jnp.inf)
-    hi = jnp.searchsorted(t_safe, t_query, side="right")
+    hi = jnp.sum((t_safe <= t_query[..., None]).astype(jnp.int32), axis=-1)
     hi = jnp.clip(hi, 1, jnp.maximum(n_valid - 1, 1))
     lo = hi - 1
     t0, t1 = t_safe[lo], t_safe[hi]

@@ -19,3 +19,24 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+_TEST_COUNT = 0
+
+
+@pytest.fixture(autouse=True)
+def _periodic_cache_clear():
+    """Drop compiled-program caches every ~40 tests.
+
+    With ~120+ live compiled CPU executables in one process, XLA:CPU's
+    compiler segfaults deterministically partway through the suite
+    (backend_compile_and_load, observed twice at the same test index on
+    jaxlib 0.9 — once solo, once under load).  Periodically releasing the
+    executables keeps the process well under that threshold; the handful of
+    recompiles costs far less than the suite's long tests."""
+    global _TEST_COUNT
+    _TEST_COUNT += 1
+    if _TEST_COUNT % 40 == 0:
+        jax.clear_caches()
+    yield
