@@ -49,6 +49,9 @@ class VoxelFeatureMap(NamedTuple):
     valid: Array         # (V,) bool — passes the geometric quality gates
     mask: Array          # (V,) bool — slot occupied
     stats: Array         # (V, 12) packed rows (see above)
+    probe: Array         # (V, 4) [key(valid-folded), mean] — the probe-phase
+    #                      gather reads 16 B/candidate instead of 48; the
+    #                      full stats row is gathered for the WINNER only
     bucket_start: Array  # (H,)
     bucket_count: Array  # (H,)
     leaf: Array          # () float32
@@ -196,10 +199,17 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
         cnt_p.astype(jnp.float32)[:, None],
         jnp.zeros((capacity, 2), jnp.float32),
     ], axis=1)
+    # probe rows fold validity into the key (invalid -> sentinel, never
+    # matches a query): the per-candidate gather shrinks to 16 B
+    probe_key = jnp.where(valid_p, _coord_key(coords_p), jnp.int32(2**30))
+    probe = jnp.concatenate([
+        jax.lax.bitcast_convert_type(probe_key, jnp.float32)[:, None], mean_p,
+    ], axis=1)
 
     return VoxelFeatureMap(
         coords=coords_p, mean=mean_p, direction=dir_p,
         d=d_p, count=cnt_p, valid=valid_p, mask=mask_p, stats=stats,
+        probe=probe,
         bucket_start=starts.astype(jnp.int32),
         bucket_count=(ends - starts).astype(jnp.int32),
         leaf=leaf_f,
@@ -242,21 +252,27 @@ def lookup(vmap: VoxelFeatureMap, q_xyz: Array, q_mask: Array,
 
     Qn = q_xyz.shape[0]
     cand_f = cand.reshape(Qn, -1)
-    rows = vmap.stats[cand_f]                           # (Q, 8C, 12) ONE gather
+    # probe phase: 16 B/candidate (key + mean; validity folded into the key)
+    rows = vmap.probe[cand_f]                           # (Q, 8C, 4)
     keys = jax.lax.bitcast_convert_type(rows[..., 0], jnp.int32)
     expect = _coord_key(cells)                          # (Q, 8)
+    # out-of-domain query cells share the invalid-voxel sentinel; remap so
+    # they can never match it
+    expect = jnp.where(expect == jnp.int32(2**30), jnp.int32(-1), expect)
     expect_f = jnp.repeat(expect, C, axis=1)            # (Q, 8C)
-    match = (keys == expect_f) & ok.reshape(Qn, -1) & (rows[..., 8] > 0.5)
+    match = (keys == expect_f) & ok.reshape(Qn, -1)
 
     means = rows[..., 1:4]
     d2 = jnp.sum((means - q_xyz[:, None, :]) ** 2, axis=-1)
     d2 = jnp.where(match & q_mask[:, None], d2, jnp.inf)
     best = jnp.argmin(d2, axis=1)
-    rowsel = jnp.take_along_axis(rows, best[:, None, None], axis=1)[:, 0]
+    # winner phase: full 48 B stats row for Q rows only (not Q*8C)
+    best_slot = cand_f[jnp.arange(Qn), best]
+    win = vmap.stats[best_slot]                         # (Q, 12)
     found = jnp.isfinite(d2[jnp.arange(Qn), best])
     return VoxelLookup(
-        idx=cand_f[jnp.arange(Qn), best], found=found,
-        mean=rowsel[:, 1:4], direction=rowsel[:, 4:7], d=rowsel[:, 7],
+        idx=best_slot, found=found,
+        mean=win[:, 1:4], direction=win[:, 4:7], d=win[:, 7],
     )
 
 
