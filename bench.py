@@ -39,7 +39,7 @@ def main():
     world = sim.World()
     traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.0)
     window = 16
-    n_warm, n_bench = 8, 80
+    n_warm, n_bench = window, 80  # warm-up = one full window
     data = sim.make_dataset(world, traj, n_scans=n_warm + n_bench, scan_dt=0.1,
                             n_scan=n_scan, horizon=horizon, seed=7)
 
