@@ -156,6 +156,22 @@ def odometry_window_packed(state: LioState, points_w: Array, aux_w: Array,
     return jax.lax.scan(body, state, (points_w, aux_w))
 
 
+@partial(jax.jit, static_argnames=("p",), donate_argnums=(0,))
+def odometry_window_flat(state: LioState, flat_w: Array, p: LioParams):
+    """:func:`odometry_window_packed` fed by ONE flat (W, n_pts*5 + (2T+2)*8)
+    buffer.  Each host->device transfer through the tunneled runtime pays a
+    fixed post-execute stall (~30-130 ms measured) on top of bandwidth, so
+    the window's two input arrays are shipped as a single upload and split
+    here in-program."""
+    W = flat_w.shape[0]
+    n_pts = p.max_points
+    T = p.imu_window
+    pts_w = flat_w[:, :n_pts * 5].reshape(W, n_pts, 5)
+    aux_w = flat_w[:, n_pts * 5:n_pts * 5 + (2 * T + 2) * 8].reshape(
+        W, 2 * T + 2, 8)
+    return odometry_window_packed(state, pts_w, aux_w, p)
+
+
 # ---------------------------------------------------------------------------
 # local map assembly
 # ---------------------------------------------------------------------------

@@ -19,7 +19,8 @@ import numpy as np
 
 from ...ops import se3
 from .loop import loop_closure_step
-from .mapping import odometry_step, odometry_step_packed, odometry_window_packed
+from .mapping import (odometry_step, odometry_step_packed,
+                      odometry_window_flat, odometry_window_packed)
 from .params import LioParams
 from .state import LioState, init_state
 
@@ -192,21 +193,27 @@ class LioSam:
         if not 1 <= len(scans) <= W:
             raise ValueError(f"expected 1..{W} scans, got {len(scans)}")
         p = self.p
-        pts_w = np.zeros((W, p.max_points, 5), np.float32)
-        aux_w = np.zeros((W, 2 * p.imu_window + 2, 8), np.float32)
+        n5 = p.max_points * 5
+        a8 = (2 * p.imu_window + 2) * 8
+        # ONE flat buffer -> ONE upload: each transfer pays a fixed
+        # post-execute stall through the tunneled runtime, so the window's
+        # points and aux ship together (split again in-program)
+        flat_w = np.zeros((W, n5 + a8), np.float32)
         times = []
         prev_count = self._scan_count
         for i, s in enumerate(scans):
             kw = {k: v for k, v in s.items()
                   if k in ("imu_t", "imu_gyro", "imu_acc", "imu_rpy",
                            "gps_xyz", "gps_sigma")}
-            pts_w[i], aux_w[i] = self._make_input_np(
+            pts_i, aux_i = self._make_input_np(
                 s["xyz"], s["ring"], s["time_rel"], s["scan_start"], **kw)
+            flat_w[i, :n5] = pts_i.reshape(-1)
+            flat_w[i, n5:] = aux_i.reshape(-1)
             self._last_scan_time = float(s["scan_start"])
             self._scan_count += 1
             times.append(float(s["scan_start"]))
-        new_state, outs = odometry_window_packed(
-            self.state, jnp.asarray(pts_w), jnp.asarray(aux_w), self.p)
+        new_state, outs = odometry_window_flat(
+            self.state, jnp.asarray(flat_w), self.p)
         self.state = new_state
         self._pending.append((times, outs.pose_matrix))
 
