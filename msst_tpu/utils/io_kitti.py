@@ -67,9 +67,24 @@ class KittiRawDrive:
     """Reader for an extracted KITTI raw drive directory
     (``<base>/<date>/<date>_drive_<id>_sync`` layout)."""
 
-    def __init__(self, drive_dir: str, n_rings: int = 64):
+    def __init__(self, drive_dir: str, n_rings: int = 64,
+                 imu_extrinsics=None):
+        """imu_extrinsics: :class:`~msst_tpu.utils.imu_adapter.ImuExtrinsics`
+        applied to every IMU sample (the reference's ``imuConverter``,
+        ``utility.h:252-282``).  When None, ``calib_imu_to_velo.txt`` is
+        auto-loaded from the date directory (KITTI ships the IMU->velodyne
+        extrinsic there; ``kitti2bag.py`` carries it as a /tf instead)."""
+        from .imu_adapter import ImuExtrinsics, load_kitti_imu_extrinsics
+
         self.dir = drive_dir
         self.n_rings = n_rings
+        if imu_extrinsics is None:
+            calib = os.path.join(os.path.dirname(os.path.abspath(drive_dir)),
+                                 "calib_imu_to_velo.txt")
+            imu_extrinsics = (load_kitti_imu_extrinsics(calib)
+                              if os.path.exists(calib)
+                              else ImuExtrinsics.identity())
+        self.imu_extrinsics = imu_extrinsics
         self.velo_files = sorted(
             glob.glob(os.path.join(drive_dir, "velodyne_points", "data", "*.bin")))
         self.velo_times = _read_timestamps(
@@ -112,6 +127,11 @@ class KittiRawDrive:
 
     def iter_scans(self, with_imu=True, imu_window=0.5):
         t_imu, gyro, acc, rpy = self.imu_samples() if with_imu else (None,) * 4
+        if with_imu and t_imu is not None \
+                and not self.imu_extrinsics.is_identity():
+            from .imu_adapter import convert_imu
+            gyro, acc, rpy = convert_imu(self.imu_extrinsics, gyro, acc,
+                                         rpy=rpy)
         for i in range(len(self)):
             s = self.scan(i)
             if with_imu and t_imu is not None:

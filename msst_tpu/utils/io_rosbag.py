@@ -178,8 +178,16 @@ def decode_odometry(buf: bytes) -> dict:
             "pose_covariance": cov.reshape(6, 6)}
 
 
-def iter_lio_inputs(path: str, cloud_topic: str, imu_topic: str):
-    """Replay a bag into per-scan dicts shaped for LioSam.process_scan."""
+def iter_lio_inputs(path: str, cloud_topic: str, imu_topic: str,
+                    imu_extrinsics=None):
+    """Replay a bag into per-scan dicts shaped for LioSam.process_scan.
+
+    imu_extrinsics: optional :class:`~msst_tpu.utils.imu_adapter.ImuExtrinsics`
+    applied to every IMU sample before windowing (the reference converts in
+    each IMU callback, ``utility.h:252-282``)."""
+    from .imu_adapter import ImuExtrinsics, convert_scan_dict
+    if imu_extrinsics is None:
+        imu_extrinsics = ImuExtrinsics.identity()
     reader = RosbagReader(path)
     imu_t, imu_g, imu_a, imu_q = [], [], [], []
     for topic, stamp, info, raw in reader.messages({cloud_topic, imu_topic}):
@@ -202,11 +210,11 @@ def iter_lio_inputs(path: str, cloud_topic: str, imu_topic: str):
             if sel.any():
                 q = np.asarray(imu_q)[sel][-1]
                 rpy = Rs.from_quat([q[1], q[2], q[3], q[0]]).as_euler("xyz").astype(np.float32)
-            yield dict(
+            yield convert_scan_dict(imu_extrinsics, dict(
                 xyz=xyz, ring=ring, time_rel=trel, scan_start=m["stamp"],
                 intensity=m.get("intensity"),
                 imu_t=t_arr[sel] if sel.any() else np.zeros(0, np.float64),
                 imu_gyro=np.asarray(imu_g)[sel].astype(np.float32) if sel.any() else np.zeros((0, 3), np.float32),
                 imu_acc=np.asarray(imu_a)[sel].astype(np.float32) if sel.any() else np.zeros((0, 3), np.float32),
                 imu_rpy=rpy,
-            )
+            ))

@@ -190,8 +190,14 @@ class ImuModbusDriver:
     GYRO_COV = [2.5e-5, 0, 0, 0, 2.5e-5, 0, 0, 0, 2.5e-5]
     ACC_COV = [1e-4, 0, 0, 0, 1e-4, 0, 0, 0, 1e-4]
 
-    def __init__(self, host: str = "192.168.188.105", port: int = 502):
+    def __init__(self, host: str = "192.168.188.105", port: int = 502,
+                 extrinsics=None):
+        """extrinsics: optional
+        :class:`~msst_tpu.utils.imu_adapter.ImuExtrinsics` applied to every
+        polled sample (the reference's ``imuConverter``,
+        ``utility.h:252-282``)."""
         self.client = ModbusTcpClient(host, port)
+        self.extrinsics = extrinsics
 
     def poll(self) -> Optional[dict]:
         if not self.client.ensure_connected():
@@ -207,10 +213,15 @@ class ImuModbusDriver:
         import math
         if not all(math.isfinite(f) for f in floats[:9]):
             return None  # validity gating (:121-133)
+        rpy, gyro, acc = floats[0:3], floats[3:6], floats[6:9]
+        if self.extrinsics is not None and not self.extrinsics.is_identity():
+            from .imu_adapter import convert_imu
+            gyro, acc, rpy = convert_imu(self.extrinsics, gyro, acc, rpy=rpy)
+            rpy, gyro, acc = list(rpy), list(gyro), list(acc)
         return {
-            "rpy": floats[0:3],
-            "gyro": floats[3:6],
-            "acc": floats[6:9],
+            "rpy": rpy,
+            "gyro": gyro,
+            "acc": acc,
             "orientation_covariance": self.ORIENTATION_COV,
             "angular_velocity_covariance": self.GYRO_COV,
             "linear_acceleration_covariance": self.ACC_COV,
