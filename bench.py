@@ -7,73 +7,111 @@ Prints ONE JSON line:
 Baseline: the reference LIO-SAM's by-design mapping-rate ceiling of
 ~6.67 Hz (mappingProcessInterval = 0.15 s on 4 CPU cores,
 ``liosam_ws/src/LIO-SAM/config/params.yaml:72-73``) — see BASELINE.md.
-The workload is the full per-scan odometry program (deskew, features,
-scan-to-map GN over the keyframe local map, factor update) on VLP-16-sized
-scans (16 x 1800) replayed from the synthetic world, steady state after
-warm-up, host->device transfer included.
+
+Two phases, both on VLP-16-sized scans (16 x 1800) from the synthetic world:
+
+1. Odometry (primary metric): 80 scans steady-state after warm-up,
+   host->device transfer included.  The trajectory error is GATED: the
+   bench fails (nonzero exit, after printing its JSON) if max drift
+   exceeds the accuracy budget — perf work can never silently trade
+   accuracy again (round-2 VERDICT #2).
+2. Loop closure on (round-2 VERDICT #3/#4): a revisiting drive long enough
+   to open the 30 s loop-age gate, loop program dispatched at its natural
+   1 Hz rate; reports scans/s with loops on + loops closed.  Loop
+   enablement is canonicalized out of the jit key (pipeline.py), so this
+   phase reuses phase 1's compiled programs.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_SCANS_PER_SEC = 6.67
+ERR_GATE_M = float(os.environ.get("MSST_BENCH_ERR_GATE", "0.10"))
+
+
+def _feed(lio, batch):
+    return lio.process_window([
+        dict(xyz=s["xyz"], ring=s["ring"], time_rel=s["time_rel"],
+             scan_start=s["scan_start"], imu_t=s["imu_t"],
+             imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
+             imu_rpy=s["imu_rpy"])
+        for s in batch
+    ])
+
+
+def _traj_err(lio, data):
+    gt0 = data[0]["gt_pose"][:3, 3]
+    gt = np.stack([s["gt_pose"][:3, 3] - gt0 for s in data])
+    est = lio.trajectory.as_matrices()[:, :3, 3]
+    n = min(len(est), len(gt))
+    return float(np.linalg.norm(est[:n] - gt[:n], axis=1).max())
 
 
 def main():
+    import jax
+
     from msst_tpu.models.liosam import LioSam
     from msst_tpu.models.liosam.params import LioParams
     from msst_tpu.utils import sim
 
     n_scan, horizon = 16, 1800
-    p = LioParams(
-        n_scan=n_scan, horizon_scan=horizon,
-        max_points=n_scan * horizon + 64,
-        loop_closure_enabled=False,
-        max_keyframes=256,
-    )
+    window = 16
+
+    def params(loop):
+        return LioParams(
+            n_scan=n_scan, horizon_scan=horizon,
+            max_points=n_scan * horizon + 64,
+            loop_closure_enabled=loop,
+            max_keyframes=256,
+        )
 
     world = sim.World()
     traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.0)
-    window = 16
+
+    # --- phase 1: odometry-only throughput (primary metric)
     n_warm, n_bench = window, 80  # warm-up = one full window
-    data = sim.make_dataset(world, traj, n_scans=n_warm + n_bench, scan_dt=0.1,
-                            n_scan=n_scan, horizon=horizon, seed=7)
-
-    lio = LioSam(p, window=window)
-
-    def feed(batch):
-        return lio.process_window([
-            dict(xyz=s["xyz"], ring=s["ring"], time_rel=s["time_rel"],
-                 scan_start=s["scan_start"], imu_t=s["imu_t"],
-                 imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
-                 imu_rpy=s["imu_rpy"])
-            for s in batch
-        ])
-
+    data = sim.make_dataset(world, traj, n_scans=n_warm + n_bench,
+                            scan_dt=0.1, n_scan=n_scan, horizon=horizon,
+                            seed=7)
+    lio = LioSam(params(loop=False), window=window)
     for i in range(0, n_warm, window):
-        outs = feed(data[i:i + window])
-    import jax
+        outs = _feed(lio, data[i:i + window])
     jax.block_until_ready(outs.pose6)
 
     iters = []
     t0 = time.perf_counter()
     for i in range(n_warm, n_warm + n_bench, window):
-        outs = feed(data[i:i + window])
+        outs = _feed(lio, data[i:i + window])
         iters.append(outs.s2m_iterations)
     jax.block_until_ready(outs.pose6)
     wall = time.perf_counter() - t0
     lio.flush()
     iters = [int(i) for i in np.concatenate([np.asarray(x) for x in iters])]
-
     scans_per_sec = n_bench / wall
-    gt0 = data[0]["gt_pose"][:3, 3]
-    gt = np.stack([s["gt_pose"][:3, 3] - gt0 for s in data])
-    est = lio.trajectory.as_matrices()[:, :3, 3]
-    err = float(np.linalg.norm(est - gt, axis=1).max())
+    err = _traj_err(lio, data)
+
+    # --- phase 2: loop closure ON over a revisiting drive (the reference's
+    # 6.67 Hz ceiling runs WITH its loop thread, mapOptmization.cpp:1770)
+    n_loop_scans = 340  # 34 s at 10 Hz: crosses the 30 s loop-age gate
+    data2 = sim.make_dataset(world, traj, n_scans=n_loop_scans, scan_dt=0.1,
+                             n_scan=n_scan, horizon=horizon, seed=8)
+    lio2 = LioSam(params(loop=True), window=window)
+    outs2 = _feed(lio2, data2[:window])           # warm (programs cached)
+    jax.block_until_ready(outs2.pose6)
+    t0 = time.perf_counter()
+    for i in range(window, n_loop_scans, window):
+        _feed(lio2, data2[i:i + window])
+    lio2.flush()
+    wall2 = time.perf_counter() - t0
+    loops = int(lio2.state.n_loop)
+    loop_scans_per_sec = (n_loop_scans - window) / wall2
+    err2 = _traj_err(lio2, data2)
 
     result = {
         "metric": "lio_odometry_scans_per_sec",
@@ -85,12 +123,25 @@ def main():
             "mean_s2m_iters": round(sum(iters) / max(len(iters), 1), 1),
             "max_s2m_iters": max(iters) if iters else 0,
             "max_traj_err_m": round(err, 4),
+            "err_gate_m": ERR_GATE_M,
             "scan_size": f"{n_scan}x{horizon}",
             "window": window,
             "backend": jax.devices()[0].platform,
+            "loop_on": {
+                "scans_per_sec": round(loop_scans_per_sec, 2),
+                "vs_baseline": round(
+                    loop_scans_per_sec / BASELINE_SCANS_PER_SEC, 2),
+                "loops_closed": loops,
+                "scans": n_loop_scans,
+                "max_traj_err_m": round(err2, 4),
+            },
         },
     }
     print(json.dumps(result))
+    if err > ERR_GATE_M:
+        sys.exit(f"ACCURACY GATE FAILED: max_traj_err {err:.4f} m > "
+                 f"{ERR_GATE_M} m — perf must not trade accuracy "
+                 f"(VERDICT r2 #2)")
 
 
 if __name__ == "__main__":

@@ -21,7 +21,14 @@ import sys
 import numpy as np
 
 
-def _lio_run(scans_iter, params=None, loop=False, gps=False, progress=True):
+def _lio_run(scans_iter, params=None, loop=False, gps=False, progress=True,
+             viz_every=0, viz_dir=None):
+    """viz_every/viz_dir: streaming visualization (the live RViz surface of
+    the reference — global map @0.2 Hz + path publishers,
+    ``mapOptmization.cpp:421-490``): every N scans the current global map
+    PLY + trajectory PNG are (re)written under viz_dir.  Like the
+    reference's subscriber gate (``utility.h:292`` publishes only when
+    someone listens), the export runs only when requested."""
     from msst_tpu.models.liosam import LioSam
     from msst_tpu.models.liosam.params import LioParams
 
@@ -40,7 +47,33 @@ def _lio_run(scans_iter, params=None, loop=False, gps=False, progress=True):
             p = np.asarray(out.pose6)
             print(f"scan {n}: pos=({p[3]:+.2f},{p[4]:+.2f},{p[5]:+.2f}) "
                   f"kf={int(out.kf_count)}", file=sys.stderr)
+        if viz_every and n % viz_every == 0:
+            _stream_viz(lio, viz_dir or "viz_live", n)
+    if viz_every and viz_dir:
+        _stream_viz(lio, viz_dir, n)
     return lio
+
+
+def _stream_viz(lio, directory, n):
+    """One live-visualization tick: overwrite global_map.ply +
+    trajectory.png (atomic-ish: write then rename)."""
+    import os
+
+    from msst_tpu.utils import viz
+
+    os.makedirs(directory, exist_ok=True)
+    m = lio.save_map()
+    pts = np.concatenate([m["corner_map"], m["surf_map"]]) \
+        if len(m["corner_map"]) or len(m["surf_map"]) else np.zeros((0, 3))
+    tmp = os.path.join(directory, ".global_map.ply.tmp")
+    viz.write_ply(tmp, pts)
+    os.replace(tmp, os.path.join(directory, "global_map.ply"))
+    est = lio.trajectory.as_matrices()
+    if len(est):
+        viz.plot_trajectory(os.path.join(directory, "trajectory.png"),
+                            est[:, :3, 3])
+    print(f"viz: scan {n} -> {directory}/global_map.ply "
+          f"({len(pts)} pts)", file=sys.stderr)
 
 
 def cmd_lio_sim(args):
@@ -70,7 +103,8 @@ def cmd_lio_kitti(args):
     else:
         p = LioParams(n_scan=args.rings, horizon_scan=args.horizon,
                       max_points=150000, loop_closure_enabled=args.loop)
-    lio = _lio_run(it, params=p, loop=args.loop)
+    lio = _lio_run(it, params=p, loop=args.loop,
+                   viz_every=args.viz_every, viz_dir=args.viz_dir)
     traj = lio.trajectory.as_matrices()
     np.savetxt(args.output, traj[:, :3, :].reshape(len(traj), 12), fmt="%.6f")
     print(f"{len(traj)} poses -> {args.output} (KITTI format)")
@@ -111,7 +145,8 @@ def cmd_lio_bag(args):
     if args.tiny:
         from msst_tpu.models.liosam.params import tiny_params
         params = tiny_params(loop_closure_enabled=args.loop)
-    lio = _lio_run(it, params=params, loop=args.loop)
+    lio = _lio_run(it, params=params, loop=args.loop,
+                   viz_every=args.viz_every, viz_dir=args.viz_dir)
     traj = lio.trajectory.as_matrices()
     np.savetxt(args.output, traj[:, :3, :].reshape(len(traj), 12), fmt="%.6f")
     print(f"{len(traj)} poses -> {args.output}")
@@ -310,6 +345,9 @@ def main(argv=None):
     s.add_argument("--tiny", action="store_true",
                    help="small-capacity params (CPU-friendly)")
     s.add_argument("--output", default="trajectory_kitti.txt")
+    s.add_argument("--viz-every", type=int, default=0,
+                   help="write global_map.ply + trajectory.png every N scans")
+    s.add_argument("--viz-dir", default="viz_live")
     s.set_defaults(fn=cmd_lio_kitti)
 
     s = sub.add_parser("lio-bag")
@@ -321,6 +359,9 @@ def main(argv=None):
     s.add_argument("--tiny", action="store_true",
                    help="small-capacity params (CPU-friendly)")
     s.add_argument("--output", default="trajectory.txt")
+    s.add_argument("--viz-every", type=int, default=0,
+                   help="write global_map.ply + trajectory.png every N scans")
+    s.add_argument("--viz-dir", default="viz_live")
     s.set_defaults(fn=cmd_lio_bag)
 
     s = sub.add_parser("calibrate")

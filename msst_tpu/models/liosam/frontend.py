@@ -66,8 +66,10 @@ class FrontendOutput(NamedTuple):
     n_surf: Array
 
 
-def run_frontend(scan: ScanInput, p) -> FrontendOutput:
-    """p: LioParams."""
+def run_frontend(scan: ScanInput, p, vel_body: Array | None = None,
+                 acc_body: Array | None = None) -> FrontendOutput:
+    """p: LioParams.  vel_body/acc_body: optional scan-start body-frame
+    velocity/acceleration for translation deskew (ops/range_image.deskew)."""
     # --- deskew rotation timeline (imuDeskewInfo :305-362)
     imu_win = ri.ImuWindow(scan.imu_t, scan.imu_gyro, scan.imu_acc, scan.imu_mask)
     times, rots = ri.imu_rotation_timeline(imu_win)
@@ -78,6 +80,8 @@ def run_frontend(scan: ScanInput, p) -> FrontendOutput:
         times, rots, n_imu,
         t_start=scan.scan_start,
         enabled=scan.imu_available & (n_imu > 1),
+        vel_body=vel_body,
+        acc_body=acc_body,
     )
     cloud = Cloud.create(deskewed, mask=scan.mask)
 

@@ -39,10 +39,13 @@ class FilterState(NamedTuple):
     @staticmethod
     def initial(pose: se3.Pose | None = None,
                 rot_sigma: float = 0.1, pos_sigma: float = 0.1,
-                vel_sigma: float = 1.0, bias_sigma: float = 0.1) -> "FilterState":
+                vel_sigma: float = 1.0, bias_sigma: float = 0.1,
+                velocity: "Array | None" = None) -> "FilterState":
         nav = imu_ops.NavState.identity()
         if pose is not None:
             nav = nav._replace(q=pose.q, p=pose.t)
+        if velocity is not None:
+            nav = nav._replace(v=jnp.asarray(velocity, jnp.float32))
         d = jnp.concatenate([
             jnp.full(3, rot_sigma**2), jnp.full(3, vel_sigma**2),
             jnp.full(3, pos_sigma**2), jnp.full(6, bias_sigma**2),

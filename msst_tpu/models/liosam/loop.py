@@ -117,14 +117,24 @@ def loop_closure_step(state: LioState, p: LioParams):
             mask=b.mask.at[bslot].set(True),
         )
         graph = graph._replace(betweens=b)
-        # full-graph re-optimization (the post-loop extra iSAM passes)
-        graph = graph_ops.optimize(graph, iters=7)
+        # full-graph re-optimization (the post-loop extra iSAM passes);
+        # solver auto-selects dense vs matrix-free CG by capacity
+        from .mapping import _graph_optimize
+        graph = _graph_optimize(graph, p, iters=7)
         opt6 = se3.Pose(graph.poses.q, graph.poses.t).to_vec6()
         new_kf = kf._replace(pose6=jnp.where(kf.mask[:, None], opt6, kf.pose6))
         # history was rewritten -> the cached local map is stale; rebuild it
-        from .mapping import _rebuild_local_map
-        local_map = _rebuild_local_map(new_kf, new_kf.pose6[cur][3:],
-                                       new_kf.time[cur], p)
+        # (the reference clears laserCloudMapContainer in ``correctPoses``
+        # :1583-1614 for the same reason)
+        from .mapping import (_rebake_local_map, _rebuild_local_map,
+                              _use_incremental)
+        if _use_incremental(p):
+            local_map, baked_pose6, baked = _rebake_local_map(
+                new_kf, new_kf.pose6[cur][3:], new_kf.time[cur], p)
+            new_kf = new_kf._replace(baked_pose6=baked_pose6, baked=baked)
+        else:
+            local_map = _rebuild_local_map(new_kf, new_kf.pose6[cur][3:],
+                                           new_kf.time[cur], p)
         return state._replace(
             kf=new_kf, graph=graph, n_loop=state.n_loop + 1, local_map=local_map,
             pose6=new_kf.pose6[cur], loop_closed=jnp.asarray(True),

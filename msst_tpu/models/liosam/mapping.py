@@ -50,6 +50,13 @@ class StepInput(NamedTuple):
     gps_xyz: Array    # (3,)
     gps_sigma: Array  # (3,)
     gps_valid: Array  # () bool
+    # bootstrap velocity hint (pipeline dynamic init): body-frame velocity
+    # for the FIRST scan's translation deskew + filter init — the one scan
+    # where no estimate exists yet (the reference shares this blind spot:
+    # its first cloud is deskewed rotation-only and anchors the map ~v*T/2
+    # off the true start pose)
+    init_vel_body: Array   # (3,)
+    init_vel_valid: Array  # () bool
 
 
 class StepOutput(NamedTuple):
@@ -73,14 +80,16 @@ def unpack_step_input(points: Array, aux: Array, p: LioParams) -> StepInput:
     through the tunnel, so 13 small transfers cost more than 2 larger ones).
 
     points: (max_points, 5) = [x, y, z, time_rel, ring]
-    aux:    (2T + 2, 8): rows [0, T)   scan-window IMU [t, gyro3, acc3, mask]
+    aux:    (2T + 3, 8): rows [0, T)   scan-window IMU [t, gyro3, acc3, mask]
                          rows [T, 2T)  inter-scan IMU  [t, gyro3, acc3, mask]
                          row 2T   [scan_start, n_points, imu_available, rpy0..2, gps_valid, 0]
                          row 2T+1 [gps_xyz(3), gps_sigma(3), 0, 0]
+                         row 2T+2 [init_vel_body(3), init_vel_valid, 0..0]
     """
     T = p.imu_window
     misc = aux[2 * T]
     gps = aux[2 * T + 1]
+    boot = aux[2 * T + 2]
     n_pts = misc[1].astype(jnp.int32)
     scan = ScanInput(
         xyz=points[:, :3],
@@ -98,6 +107,7 @@ def unpack_step_input(points: Array, aux: Array, p: LioParams) -> StepInput:
         pre_t=aux[T:2 * T, 0], pre_gyro=aux[T:2 * T, 1:4],
         pre_acc=aux[T:2 * T, 4:7], pre_mask=aux[T:2 * T, 7] > 0.5,
         gps_xyz=gps[:3], gps_sigma=gps[3:6], gps_valid=misc[6] > 0.5,
+        init_vel_body=boot[:3], init_vel_valid=boot[3] > 0.5,
     )
 
 
@@ -138,7 +148,7 @@ def odometry_window_packed(state: LioState, points_w: Array, aux_w: Array,
     partial window reuses this same compiled program instead of compiling a
     second one (remote compiles cost 10-50 min).
 
-    points_w: (W, max_points, 5);  aux_w: (W, 2T+2, 8)
+    points_w: (W, max_points, 5);  aux_w: (W, 2T+3, 8)
     """
     T = p.imu_window
 
@@ -156,9 +166,39 @@ def odometry_window_packed(state: LioState, points_w: Array, aux_w: Array,
     return jax.lax.scan(body, state, (points_w, aux_w))
 
 
+POINT_QUANT = (256.0, 256.0, 256.0, 16384.0, 1.0)  # per-column int16 scales:
+# xyz at 3.9 mm steps over +-128 m (rms error ~1.1 mm, an order below the
+# sensor noise), time_rel at 61 us steps over +-2 s, ring verbatim.
+
+
+@partial(jax.jit, static_argnames=("p",), donate_argnums=(0,))
+def odometry_window_flat_q16(state: LioState, flat_w: Array, p: LioParams):
+    """:func:`odometry_window_flat` fed by ONE int16 buffer — host->device
+    transfers serialize against execution through the tunneled runtime
+    (docs/DESIGN.md round-2 profile), so halving the window upload (9.2 MB
+    f32 -> 4.6 MB at 16x1800x16) buys wall-clock directly.  Points are
+    quantized per POINT_QUANT; the aux rows ride as raw f32 bit patterns
+    split into int16 halves (no precision loss).
+
+    flat_w: (W, n_pts*5 + (2T+3)*8*2) int16
+    """
+    W = flat_w.shape[0]
+    n_pts = p.max_points
+    T = p.imu_window
+    n5 = n_pts * 5
+    scales = jnp.asarray(POINT_QUANT, jnp.float32)
+    pts_w = (flat_w[:, :n5].reshape(W, n_pts, 5).astype(jnp.float32)
+             / scales[None, None, :])
+    a8 = (2 * T + 3) * 8
+    aux_i16 = flat_w[:, n5:n5 + 2 * a8].reshape(W, a8, 2)
+    aux_w = jax.lax.bitcast_convert_type(
+        aux_i16, jnp.float32).reshape(W, 2 * T + 3, 8)
+    return odometry_window_packed(state, pts_w, aux_w, p)
+
+
 @partial(jax.jit, static_argnames=("p",), donate_argnums=(0,))
 def odometry_window_flat(state: LioState, flat_w: Array, p: LioParams):
-    """:func:`odometry_window_packed` fed by ONE flat (W, n_pts*5 + (2T+2)*8)
+    """:func:`odometry_window_packed` fed by ONE flat (W, n_pts*5 + (2T+3)*8)
     buffer.  Each host->device transfer through the tunneled runtime pays a
     fixed post-execute stall (~30-130 ms measured) on top of bandwidth, so
     the window's two input arrays are shipped as a single upload and split
@@ -167,8 +207,8 @@ def odometry_window_flat(state: LioState, flat_w: Array, p: LioParams):
     n_pts = p.max_points
     T = p.imu_window
     pts_w = flat_w[:, :n_pts * 5].reshape(W, n_pts, 5)
-    aux_w = flat_w[:, n_pts * 5:n_pts * 5 + (2 * T + 2) * 8].reshape(
-        W, 2 * T + 2, 8)
+    aux_w = flat_w[:, n_pts * 5:n_pts * 5 + (2 * T + 3) * 8].reshape(
+        W, 2 * T + 3, 8)
     return odometry_window_packed(state, pts_w, aux_w, p)
 
 
@@ -177,11 +217,10 @@ def odometry_window_flat(state: LioState, flat_w: Array, p: LioParams):
 # ---------------------------------------------------------------------------
 
 
-def _gather_nearby_world(kf: KeyframeStore, position: Array,
-                         scan_time: Array, p: LioParams):
-    """Select nearby keyframes (``extractNearby`` :862-897: radius search +
-    always the last-10s keyframes) and transform their feature clouds into
-    flat masked world-frame arrays — no downsampling here."""
+def _select_nearby(kf: KeyframeStore, position: Array, scan_time: Array,
+                   p: LioParams):
+    """Nearby-keyframe selection (``extractNearby`` :862-897: radius search +
+    always the last-10s keyframes) -> (sel_idx (S,), sel_ok (S,))."""
     K = kf.pose6.shape[0]
     kmask = kf.mask
     d2 = jnp.sum((kf.positions - position) ** 2, axis=1)
@@ -191,6 +230,12 @@ def _gather_nearby_world(kf: KeyframeStore, position: Array,
     eff = jnp.where(eligible, jnp.where(recent, 0.0, d2), jnp.inf)
     neg, sel_idx = jax.lax.top_k(-eff, min(p.near_keyframes, K))
     sel_ok = jnp.isfinite(-neg)
+    return sel_idx, sel_ok
+
+
+def _gather_selected(kf: KeyframeStore, sel_idx: Array, sel_ok: Array):
+    """Transform the selected keyframes' feature clouds into flat masked
+    world-frame arrays — no downsampling here."""
 
     def gather(cloud_xyz, cloud_mask):
         pts = cloud_xyz[sel_idx]                          # (S, C, 3)
@@ -201,6 +246,12 @@ def _gather_nearby_world(kf: KeyframeStore, position: Array,
 
     return (gather(kf.corner_xyz, kf.corner_mask),
             gather(kf.surf_xyz, kf.surf_mask))
+
+
+def _gather_nearby_world(kf: KeyframeStore, position: Array,
+                         scan_time: Array, p: LioParams):
+    sel_idx, sel_ok = _select_nearby(kf, position, scan_time, p)
+    return _gather_selected(kf, sel_idx, sel_ok)
 
 
 def _assemble_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
@@ -266,6 +317,7 @@ def _rebuild_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
 
         vox_corner, vox_surf = corner_map, surf_map
 
+    use_inc = use_vox and p.map_update == "incremental"
     return LocalMap(
         corner_xyz=corner_map.xyz, corner_mask=corner_map.mask,
         surf_xyz=surf_map.xyz, surf_mask=surf_map.mask,
@@ -274,8 +326,110 @@ def _rebuild_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
         corner_vox=vox(vox_corner, p.vox_corner_cap, p.vox_corner_leaf,
                        "line"),
         surf_vox=vox(vox_surf, p.vox_surf_cap, p.vox_surf_leaf, "plane"),
+        corner_mom=voxelmap.empty_moments(p.map_corner_cap if use_inc else 8),
+        surf_mom=voxelmap.empty_moments(p.map_surf_cap if use_inc else 8),
+        anchor=position,
         valid=jnp.asarray(True),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental local map (map_update="incremental")
+# ---------------------------------------------------------------------------
+
+
+def _tiny_cloud():
+    return Cloud.create(jnp.zeros((8, 3), jnp.float32),
+                        mask=jnp.zeros((8,), bool))
+
+
+def _features_from_moments(corner_mom, surf_mom, anchor: Array, p: LioParams):
+    """LocalMap from persistent moment tables: fine-cell centroids feed the
+    coarse voxel-feature fit — identical semantics to the full rebuild's
+    centroid-downsample-then-fit (``extractCloud`` :899-938 + ops/voxelmap),
+    but the per-point work was already amortized into the moments."""
+    from ...ops import voxelmap
+    from .state import LocalMap
+
+    cx, cm = voxelmap.moments_centroids(corner_mom,
+                                        p.mapping_corner_leaf_size, anchor)
+    sx, sm = voxelmap.moments_centroids(surf_mom,
+                                        p.mapping_surf_leaf_size, anchor)
+    tiny = _tiny_cloud()
+
+    def grid(_cap):
+        return knn.build(jnp.zeros((8, 3), jnp.float32),
+                         jnp.zeros((8,), bool), 1.0, 16)
+
+    return LocalMap(
+        corner_xyz=tiny.xyz, corner_mask=tiny.mask,
+        surf_xyz=tiny.xyz, surf_mask=tiny.mask,
+        corner_grid=grid(8), surf_grid=grid(8),
+        corner_vox=voxelmap.build(cx, cm, p.vox_corner_leaf, p.vox_corner_cap,
+                                  "line", table_size=2 * p.vox_corner_cap,
+                                  origin=anchor),
+        surf_vox=voxelmap.build(sx, sm, p.vox_surf_leaf, p.vox_surf_cap,
+                                "plane", table_size=2 * p.vox_surf_cap,
+                                origin=anchor),
+        corner_mom=corner_mom, surf_mom=surf_mom, anchor=anchor,
+        valid=jnp.asarray(True),
+    )
+
+
+def _rebake_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
+                      p: LioParams):
+    """Full re-bake: gather nearby keyframes at their CURRENT poses, rebuild
+    the moment tables anchored at `position`, refit features.  Runs on the
+    first keyframe, after loop closures rewrite history (``correctPoses``
+    :1583-1614 clears the reference's cloud cache), when the robot travels
+    beyond the anchor domain, or when graph updates moved baked poses beyond
+    ``map_stale_tolerance``.  Returns (LocalMap, baked_pose6, baked)."""
+    from ...ops import voxelmap
+
+    K = kf.pose6.shape[0]
+    sel_idx, sel_ok = _select_nearby(kf, position, scan_time, p)
+    corner_flat, surf_flat = _gather_selected(kf, sel_idx, sel_ok)
+    corner_mom = voxelmap.points_to_moments(
+        corner_flat.xyz, corner_flat.mask, p.mapping_corner_leaf_size,
+        position, p.map_corner_cap)
+    surf_mom = voxelmap.points_to_moments(
+        surf_flat.xyz, surf_flat.mask, p.mapping_surf_leaf_size,
+        position, p.map_surf_cap)
+    lm = _features_from_moments(corner_mom, surf_mom, position, p)
+    baked = jnp.zeros((K,), bool).at[sel_idx].set(sel_ok)
+    return lm, kf.pose6, baked
+
+
+def _kf_moments(kf: KeyframeStore, slot: Array, pose6: Array, anchor: Array,
+                p: LioParams):
+    """One keyframe's (corner, surf) moment contribution at `pose6`.
+    Deterministic in its inputs: eviction recomputes the insertion-time
+    contribution bitwise (same stored cloud, same baked pose, same anchor),
+    so counts cancel exactly in ``merge_moments``."""
+    from ...ops import voxelmap
+
+    pose = se3.Pose.from_vec6(pose6)
+    cmom = voxelmap.points_to_moments(
+        pose.apply(kf.corner_xyz[slot]), kf.corner_mask[slot],
+        p.mapping_corner_leaf_size, anchor, p.kf_corner_cap)
+    smom = voxelmap.points_to_moments(
+        pose.apply(kf.surf_xyz[slot]), kf.surf_mask[slot],
+        p.mapping_surf_leaf_size, anchor, p.kf_surf_cap)
+    return cmom, smom
+
+
+def _use_incremental(p: LioParams) -> bool:
+    return p.scan2map_method == "voxel" and p.map_update == "incremental"
+
+
+def _graph_optimize(graph, p: LioParams, free_mask=None, iters=2):
+    """Dense-vs-CG solver auto-select (static on capacity: the dense 6Kx6K
+    Cholesky of graph_ops.optimize stops fitting around 1k keyframes)."""
+    use_cg = p.graph_solver == "cg" or (
+        p.graph_solver == "auto" and p.max_keyframes > p.cg_threshold)
+    if use_cg:
+        return graph_ops.optimize_cg(graph, free_mask=free_mask, iters=iters)
+    return graph_ops.optimize(graph, free_mask=free_mask, iters=iters)
 
 
 # ---------------------------------------------------------------------------
@@ -301,6 +455,26 @@ def _evict_oldest_keyframe(state: LioState, p: LioParams) -> LioState:
     kf, graph = state.kf, state.graph
     K = kf.pose6.shape[0]
 
+    # --- incremental map: subtract the evicted keyframe's baked moments
+    # (features are refreshed by the insert that follows this eviction)
+    if _use_incremental(p):
+        from ...ops import voxelmap
+
+        lm = state.local_map
+        cmom, smom = _kf_moments(kf, 0, kf.baked_pose6[0], lm.anchor, p)
+        sub = kf.baked[0] & lm.valid
+        # gate by masking the delta's counts to zero when nothing was baked
+        cmom = voxelmap.scale_moments(cmom, jnp.where(sub, -1.0, 0.0))
+        smom = voxelmap.scale_moments(smom, jnp.where(sub, -1.0, 0.0))
+        cmom = cmom._replace(key=jnp.where(sub, cmom.key, jnp.int32(2**30)))
+        smom = smom._replace(key=jnp.where(sub, smom.key, jnp.int32(2**30)))
+        state = state._replace(local_map=lm._replace(
+            corner_mom=voxelmap.merge_moments(lm.corner_mom, cmom,
+                                              p.map_corner_cap),
+            surf_mom=voxelmap.merge_moments(lm.surf_mom, smom,
+                                            p.map_surf_cap),
+        ))
+
     # --- Schur complement H11' = H11 - H10 H00^-1 H01 over whitened blocks
     rp, Jp = graph_ops._prior_terms(graph.poses, graph.priors)
     wp = (graph.priors.mask & (graph.priors.idx == 0)).astype(jnp.float32)
@@ -323,6 +497,8 @@ def _evict_oldest_keyframe(state: LioState, p: LioParams) -> LioState:
         corner_xyz=roll1(kf.corner_xyz), corner_mask=roll1(kf.corner_mask),
         surf_xyz=roll1(kf.surf_xyz), surf_mask=roll1(kf.surf_mask),
         count=jnp.asarray(K - 1, jnp.int32),  # insertion bumps it back to K
+        baked_pose6=roll1(kf.baked_pose6),
+        baked=roll1(kf.baked).at[K - 1].set(False),
     )
     poses = se3.Pose(roll1(graph.poses.q), roll1(graph.poses.t))
 
@@ -455,14 +631,54 @@ def _insert_keyframe(state: LioState, pose6: Array, scan_time: Array,
 
     # windowed optimization (iSAM2-update stand-in)
     free = graph.pose_mask & (jnp.arange(K) >= kf.count - p.graph_window)
-    graph = graph_ops.optimize(graph, free_mask=free, iters=2)
+    graph = _graph_optimize(graph, p, free_mask=free, iters=2)
 
     # correctPoses: keyframe poses follow the graph
     opt6 = se3.Pose(graph.poses.q, graph.poses.t).to_vec6()
     kf = kf._replace(pose6=jnp.where(kf.mask[:, None], opt6, kf.pose6))
 
-    # rebuild the cached local map around the (optimized) new keyframe
-    local_map = _rebuild_local_map(kf, kf.pose6[slot][3:], scan_time, p)
+    pos = kf.pose6[slot][3:]
+    if _use_incremental(p):
+        from ...ops import voxelmap
+
+        lm = state.local_map  # post-evict moments
+        # re-bake triggers: no map yet, anchor domain exceeded, or baked
+        # poses drifted beyond tolerance since they were merged
+        drift = jnp.where(
+            kf.baked,
+            jnp.linalg.norm(kf.pose6[:, 3:] - kf.baked_pose6[:, 3:], axis=1)
+            + 5.0 * jnp.linalg.norm(kf.pose6[:, :3] - kf.baked_pose6[:, :3],
+                                    axis=1),
+            0.0)
+        need_rebake = (
+            (~lm.valid)
+            | (jnp.sum((pos - lm.anchor) ** 2) > p.map_anchor_radius**2)
+            | (jnp.max(drift) > p.map_stale_tolerance))
+
+        def do_rebake(_):
+            return _rebake_local_map(kf, pos, scan_time, p)
+
+        def do_inc(_):
+            cmom, smom = _kf_moments(kf, slot, kf.pose6[slot], lm.anchor, p)
+            trim_r = p.surrounding_keyframe_search_radius
+            cmerged = voxelmap.merge_moments(
+                lm.corner_mom, cmom, p.map_corner_cap, trim_center=pos,
+                trim_radius=trim_r, leaf=p.mapping_corner_leaf_size,
+                origin=lm.anchor)
+            smerged = voxelmap.merge_moments(
+                lm.surf_mom, smom, p.map_surf_cap, trim_center=pos,
+                trim_radius=trim_r, leaf=p.mapping_surf_leaf_size,
+                origin=lm.anchor)
+            lmap = _features_from_moments(cmerged, smerged, lm.anchor, p)
+            return (lmap, kf.baked_pose6.at[slot].set(kf.pose6[slot]),
+                    kf.baked.at[slot].set(True))
+
+        local_map, baked_pose6, baked = jax.lax.cond(
+            need_rebake, do_rebake, do_inc, None)
+        kf = kf._replace(baked_pose6=baked_pose6, baked=baked)
+    else:
+        # rebuild the cached local map around the (optimized) new keyframe
+        local_map = _rebuild_local_map(kf, pos, scan_time, p)
 
     return state._replace(kf=kf, graph=graph, n_gps=n_gps,
                           local_map=local_map, pose6=kf.pose6[slot])
@@ -475,15 +691,8 @@ def _insert_keyframe(state: LioState, pose6: Array, scan_time: Array,
 
 @partial(jax.jit, static_argnames=("p",))
 def odometry_step(state: LioState, inp: StepInput, p: LioParams):
-    front = run_frontend(inp.scan, p)
-
-    # further downsample for scan-to-map (downsampleCurrentScan :955-967)
-    corner_ds = voxel.voxel_downsample(front.corner, p.mapping_corner_leaf_size,
-                                       capacity=p.scan_corner_cap)
-    surf_ds = voxel.voxel_downsample(front.surf, p.mapping_surf_leaf_size,
-                                     capacity=p.scan_surf_cap)
-
-    # --- inter-scan IMU preintegration + filter propagation
+    # --- inter-scan IMU preintegration + filter propagation (first, so the
+    # scan-start velocity is available for translation deskew)
     pre = imu_ops.preintegrate(inp.pre_t, inp.pre_gyro, inp.pre_acc,
                                inp.pre_mask, state.filter.bias, p.imu_params)
     fs_prop = jax.lax.cond(
@@ -491,6 +700,38 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
         lambda: imu_fusion.propagate(state.filter, pre, p.imu_params),
         lambda: state.filter,
     )
+
+    # scan-start body-frame velocity for translation deskew (DEVIATION, an
+    # improvement: the reference's findPosition is stubbed to zero,
+    # imageProjection.cpp:473-487; the ESKF velocity is in-program here)
+    vel_body = acc_body = None
+    if p.deskew_translation:
+        q_inv = se3.quat_conj(fs_prop.nav.q)
+        v_b = se3.quat_rotate(q_inv, fs_prop.nav.v)
+        # first scan: no estimate exists — use the pipeline's bootstrap hint
+        # (dynamic init re-feeds the first window with the converged
+        # velocity; body-frame velocity is near-constant over that window)
+        vel_body = jnp.where(state.initialized, v_b,
+                             jnp.where(inp.init_vel_valid,
+                                       inp.init_vel_body, 0.0))
+        # body-frame acceleration = mean specific force over the scan window
+        # + gravity rotated into the body frame (second-order deskew term)
+        w = inp.scan.imu_mask.astype(jnp.float32)
+        f_mean = (jnp.sum(inp.scan.imu_acc * w[:, None], axis=0)
+                  / jnp.maximum(jnp.sum(w), 1.0))
+        g_b = se3.quat_rotate(
+            q_inv, jnp.array([0.0, 0.0, -p.imu_gravity], jnp.float32))
+        acc_body = jnp.where(
+            (state.initialized | inp.init_vel_valid) & (jnp.sum(w) > 1),
+            f_mean + g_b, 0.0)
+
+    front = run_frontend(inp.scan, p, vel_body=vel_body, acc_body=acc_body)
+
+    # further downsample for scan-to-map (downsampleCurrentScan :955-967)
+    corner_ds = voxel.voxel_downsample(front.corner, p.mapping_corner_leaf_size,
+                                       capacity=p.scan_corner_cap)
+    surf_ds = voxel.voxel_downsample(front.surf, p.mapping_surf_leaf_size,
+                                     capacity=p.scan_surf_cap)
 
     # --- initial guess (updateInitialGuess :786-845)
     rpy_init = inp.scan.imu_rpy_init
@@ -517,6 +758,8 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
                 init6, max_iters=p.scan2map_max_iters,
                 eig_threshold=p.degeneracy_threshold,
                 use_pallas=use_pallas,
+                plateau_rtol=p.plateau_rtol,
+                plateau_min_iters=p.plateau_min_iters,
             )
         else:
             res = registration.scan_to_map(
@@ -575,7 +818,9 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
     registered = have_map & enough
 
     def init_filter():
-        return imu_fusion.FilterState.initial(pose_out)
+        v0 = jnp.where(inp.init_vel_valid,
+                       se3.quat_rotate(pose_out.q, inp.init_vel_body), 0.0)
+        return imu_fusion.FilterState.initial(pose_out, velocity=v0)
 
     def update_filter():
         fs = imu_fusion.update_with_pose(

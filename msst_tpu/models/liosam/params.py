@@ -32,6 +32,26 @@ class LioParams:
     imu_window: int = 256            # IMU samples buffered per scan — static
     imu_rate: float = 500.0
 
+    # dynamic initializer (host-side; canonicalized out of the jit key):
+    # buffer the first ~8 scans, read back the converged velocity, reset and
+    # re-feed so the FIRST scan deskews with a real velocity instead of
+    # anchoring the map on a motion-smeared cloud (a ~v*sweep/2 gauge offset
+    # the reference shares).  See pipeline._bootstrap_refeed.
+    dynamic_init: bool = True
+
+    # translation deskew from the ESKF velocity (DEVIATION, an improvement:
+    # the reference stubs position deskew to zero, imageProjection.cpp:473-487
+    # — its odometry is not available in that callback; ours is in-program).
+    # False restores reference-faithful rotation-only deskew.
+    deskew_translation: bool = True
+
+    # int16-quantized window uploads (windowed dispatch only): halves the
+    # host->device bytes, which serialize against execution on the tunneled
+    # runtime.  xyz rides at 3.9 mm steps over +-128 m (rms ~1.1 mm, an
+    # order below sensor noise; points beyond 128 m clip — set False for
+    # scenes past that), per-point time at 61 us steps, aux rows bit-exact.
+    quantized_upload: bool = True
+
     # --- LOAM thresholds (params.yaml:60-64)
     edge_threshold: float = 1.0
     feature_method: str = "nms"   # "nms" (fast, default) | "exact" (reference-faithful)
@@ -56,7 +76,30 @@ class LioParams:
     surrounding_keyframe_search_radius: float = 50.0
     scan2map_max_iters: int = 30
     scan2map_method: str = "voxel"   # "voxel" (VoxelMap-style, fast) | "knn" (reference-style 5-NN)
+    # cost-plateau stop for the voxel GN (voxel correspondences flip-flop
+    # below mm scale; the reference's exact-NN geometry converges by delta
+    # gates alone, mapOptmization.cpp:1292-1310)
+    plateau_rtol: float = 1e-3
+    plateau_min_iters: int = 2
     vox_source: str = "downsampled"  # voxel-fit input: "downsampled" (reference-style centroid pass first, lower drift) | "direct" (raw keyframe features, cheaper rebuild)
+    # local-map maintenance (voxel method only):
+    # "incremental": persistent per-voxel moment tables, delta insert/evict
+    #   per keyframe (the reference's transformed-cloud cache semantics,
+    #   mapOptmization.cpp:899-938 laserCloudMapContainer — contributions are
+    #   baked at insertion pose and refreshed only on re-bake), full re-bake
+    #   on loop closure / anchor travel / stale poses.  Implies "downsampled"
+    #   vox_source semantics.
+    # "rebuild": gather + downsample + refit the whole local map at every
+    #   keyframe (round-2 behavior; ~5 ms/keyframe at 16x1800 on v5e).
+    # Default incremental: measured both faster (no 262k-point regather per
+    # keyframe) and lower-drift (0.140 vs 0.150 max err on the 96-scan
+    # bench drive).
+    map_update: str = "incremental"
+    map_anchor_radius: float = 40.0   # re-bake when the newest keyframe is
+    #   farther than this from the map anchor (fine-grid domain is +-512
+    #   cells = +-102 m at the 0.2 m corner leaf; 40 + 50 m trim fits)
+    map_stale_tolerance: float = 0.2  # re-bake when any baked keyframe pose
+    #   has moved more than this (|dt| + 5|drpy|) since it was baked
     # route the per-iteration correspondence search through the VMEM-resident
     # Pallas kernels (ops/voxelmap_pallas, ops/knn_pallas):
     # "auto" = on TPU only (interpreter elsewhere is a test path, not perf).
@@ -96,6 +139,13 @@ class LioParams:
     # --- static capacity caps (TPU fixed shapes; no reference analogue —
     # the reference grows dynamically, see SURVEY.md §7 "dynamic shapes")
     max_keyframes: int = 1024
+    # pose-graph solver: "dense" (Cholesky normal equations), "cg"
+    # (matrix-free block-Jacobi PCG, O(K*36) memory), or "auto" — dense up
+    # to cg_threshold keyframes, CG beyond (the dense 6Kx6K Hessian stops
+    # fitting ~1k keyframes; the iSAM2-at-scale role,
+    # mapOptmization.cpp:1497-1581)
+    graph_solver: str = "auto"
+    cg_threshold: int = 768
     kf_corner_cap: int = 2048        # stored downsampled corners per keyframe (= scan cap: truncation would bias the map)
     kf_surf_cap: int = 8192
     scan_corner_cap: int = 2048      # downsampled features per scan
@@ -103,7 +153,11 @@ class LioParams:
     near_keyframes: int = 32         # local-map keyframe gather count
     map_corner_cap: int = 16384      # local map after voxel downsample
     map_surf_cap: int = 49152
-    loop_submap_cap: int = 16384     # loop-closure ICP submap points
+    loop_submap_cap: int = 49152     # loop-closure ICP submap points.  Must
+    # hold ~all voxels of the ±25-keyframe submap at loop_leaf_size: the
+    # fitness gate (0.3, getFitnessScore semantics) assumes the reference's
+    # FULL 0.4 m-leaf density — round-3 found a 16384 cap thinned the map
+    # until even perfectly-aligned ICP scored ~2.7 and no loop ever closed
     max_gps_factors: int = 256
     max_loop_factors: int = 128
     graph_window: int = 16           # free poses in windowed graph updates

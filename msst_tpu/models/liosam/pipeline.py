@@ -19,10 +19,36 @@ import numpy as np
 
 from ...ops import se3
 from .loop import loop_closure_step
-from .mapping import (odometry_step, odometry_step_packed,
-                      odometry_window_flat, odometry_window_packed)
+from .mapping import (POINT_QUANT, odometry_step, odometry_step_packed,
+                      odometry_window_flat, odometry_window_flat_q16,
+                      odometry_window_packed)
 from .params import LioParams
 from .state import LioState, init_state
+
+
+_Q16_SCALES = np.asarray(POINT_QUANT, np.float32)
+_q16_lib = None
+
+
+def _q16_native():
+    """ctypes handle to the native quantized packer (False when the shared
+    library is absent or predates pack_scan_q16)."""
+    global _q16_lib
+    if _q16_lib is None:
+        from ...utils.packets import _load_native
+
+        lib = _load_native()
+        if lib:
+            import ctypes
+            try:
+                lib.pack_scan_q16.restype = None
+                lib.pack_scan_q16.argtypes = (
+                    [ctypes.c_void_p] * 3 + [ctypes.c_int] * 2
+                    + [ctypes.c_void_p] * 2)
+            except AttributeError:
+                lib = False
+        _q16_lib = lib if lib else False
+    return _q16_lib
 
 
 def _pad(a: np.ndarray, n: int, fill=0):
@@ -64,6 +90,27 @@ class LioSam:
     def __init__(self, params: Optional[LioParams] = None,
                  readback_interval: Optional[int] = None, window: int = 1):
         self.p = params or LioParams()
+        # loop enablement/frequency are host-side scheduling knobs, but the
+        # whole params object is the jit static key: canonicalize them so
+        # toggling loops between runs reuses every compiled program (a
+        # full-size remote recompile costs 10-50 min, CLAUDE.md)
+        self.loop_enabled = self.p.loop_closure_enabled
+        loop_every = max(
+            1, int(round(1.0 / max(self.p.loop_closure_frequency, 1e-3) * 10))
+        )  # scans between loop attempts, assuming ~10 Hz scans
+        dynamic_init = self.p.dynamic_init
+        self.p = dataclasses.replace(self.p, loop_closure_enabled=True,
+                                     loop_closure_frequency=1.0,
+                                     dynamic_init=True)
+        # dynamic init: the very first scan is deskewed with an unknown
+        # velocity, so its smeared cloud anchors the map ~v*sweep/2 off the
+        # true start pose (a constant, unobservable-from-inside gauge offset;
+        # the reference shares it — its first cloud is rotation-only
+        # deskewed).  Buffer the first boot window, read back the converged
+        # velocity, reset, and re-feed with the hint (StepInput.init_vel_*).
+        self._init_vel = None
+        self._boot_scans: Optional[list] = [] if dynamic_init else None
+        self._boot_n = 8
         # scans dispatched per compiled program via process_window(); each
         # dispatch through the tunneled runtime pays a fixed ~25-35 ms, so
         # batching W scans divides that overhead by W (docs/DESIGN.md)
@@ -77,9 +124,7 @@ class LioSam:
         # every time is rebased to the first received stamp (held in float64
         # host-side) before casting — see ADVICE.md r1 (high)
         self._epoch: Optional[float] = None
-        self._loop_every = max(
-            1, int(round(1.0 / max(self.p.loop_closure_frequency, 1e-3) * 10))
-        )  # scans between loop attempts, assuming ~10 Hz scans
+        self._loop_every = loop_every
         # device->host readbacks have ~tens-of-ms latency on tunneled TPUs
         # AND synchronize the pipeline (the transfer blocks on the last
         # dispatched window), so poses are fetched in batches. The default
@@ -90,6 +135,7 @@ class LioSam:
             readback_interval = max(8, 4 * self.window)
         self._readback_interval = max(1, readback_interval)
         self._pending: list = []  # (time, device pose_matrix)
+        self._pending_loops: list = []  # device `found` flags, read lazily
 
     # -- input assembly -----------------------------------------------------
 
@@ -102,12 +148,50 @@ class LioSam:
         mapping.unpack_step_input."""
         p = self.p
         n = min(len(xyz), p.max_points)
-        T = p.imu_window
 
         points = np.zeros((p.max_points, 5), np.float32)
         points[:n, :3] = np.asarray(xyz, np.float32)[:n]
         points[:n, 3] = np.asarray(time_rel, np.float32)[:n]
         points[:n, 4] = np.asarray(ring, np.float32)[:n]
+        aux = self._make_aux_np(n, time_rel, scan_start, imu_t=imu_t,
+                                imu_gyro=imu_gyro, imu_acc=imu_acc,
+                                imu_rpy=imu_rpy, gps_xyz=gps_xyz,
+                                gps_sigma=gps_sigma)
+        return points, aux
+
+    def _pack_points_q16(self, xyz, ring, time_rel, out) -> int:
+        """One-pass quantized point pack into an int16 row view (native
+        pack_scan_q16 when the library is built; numpy fallback)."""
+        p = self.p
+        n = min(len(xyz), p.max_points)
+        lib = _q16_native()
+        xyz32 = np.ascontiguousarray(np.asarray(xyz, np.float32)[:n])
+        t32 = np.ascontiguousarray(np.asarray(time_rel, np.float32)[:n])
+        r32 = np.ascontiguousarray(np.asarray(ring, np.int32)[:n])
+        dst = out[:p.max_points * 5]
+        if lib:
+            import ctypes
+            lib.pack_scan_q16(
+                xyz32.ctypes.data_as(ctypes.c_void_p),
+                t32.ctypes.data_as(ctypes.c_void_p),
+                r32.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int(n), ctypes.c_int(p.max_points),
+                _Q16_SCALES.ctypes.data_as(ctypes.c_void_p),
+                dst.ctypes.data_as(ctypes.c_void_p))
+        else:
+            pts = np.zeros((p.max_points, 5), np.float32)
+            pts[:n, :3] = xyz32
+            pts[:n, 3] = t32
+            pts[:n, 4] = r32
+            dst[:] = np.clip(np.rint(pts * _Q16_SCALES), -32767,
+                             32767).astype(np.int16).reshape(-1)
+        return n
+
+    def _make_aux_np(self, n, time_rel, scan_start,
+                     imu_t=None, imu_gyro=None, imu_acc=None, imu_rpy=None,
+                     gps_xyz=None, gps_sigma=None):
+        p = self.p
+        T = p.imu_window
 
         if imu_t is None or len(imu_t) == 0:
             imu_t = np.zeros(0, np.float64)
@@ -126,7 +210,7 @@ class LioSam:
         t_prev = self._last_scan_time if self._last_scan_time is not None else scan_start
         in_pre = (imu_t >= t_prev) & (imu_t <= scan_start + 0.005)
 
-        aux = np.zeros((2 * T + 2, 8), np.float32)
+        aux = np.zeros((2 * T + 3, 8), np.float32)
 
         def fill(rows, sel):
             k = min(int(sel.sum()), T)
@@ -152,7 +236,10 @@ class LioSam:
         else:
             aux[2 * T + 1, 3:6] = 1.0
         misc[7] = 1.0  # scan-valid flag (padded window slots leave this 0)
-        return points, aux
+        if self._init_vel is not None:
+            aux[2 * T + 2, :3] = self._init_vel
+            aux[2 * T + 2, 3] = 1.0
+        return aux
 
     def _make_input(self, *args, **kw):
         points, aux = self._make_input_np(*args, **kw)
@@ -170,10 +257,18 @@ class LioSam:
         self._scan_count += 1
         self._pending.append((scan_start, out.pose_matrix))
 
+        if self._boot_scans is not None:
+            self._boot_scans.append(dict(xyz=xyz, ring=ring,
+                                         time_rel=time_rel,
+                                         scan_start=scan_start, **sensors))
+            if self._scan_count >= self._boot_n:
+                res = self._bootstrap_refeed()
+                return res if res is not None else out
+
         if len(self._pending) >= self._readback_interval:
             self._flush_pending()
 
-        if (self.p.loop_closure_enabled
+        if (self.loop_enabled
                 and self._scan_count % self._loop_every == 0):
             self._try_loop_closure()
         return out
@@ -194,43 +289,105 @@ class LioSam:
             raise ValueError(f"expected 1..{W} scans, got {len(scans)}")
         p = self.p
         n5 = p.max_points * 5
-        a8 = (2 * p.imu_window + 2) * 8
+        a8 = (2 * p.imu_window + 3) * 8
         # ONE flat buffer -> ONE upload: each transfer pays a fixed
         # post-execute stall through the tunneled runtime, so the window's
-        # points and aux ship together (split again in-program)
-        flat_w = np.zeros((W, n5 + a8), np.float32)
+        # points and aux ship together (split again in-program).  With
+        # quantized_upload the buffer is int16 (points scaled, aux rows as
+        # raw f32 bit halves) — half the serialized transfer bytes.
+        quant = p.quantized_upload
+        if quant:
+            flat_w = np.zeros((W, n5 + 2 * a8), np.int16)
+        else:
+            flat_w = np.zeros((W, n5 + a8), np.float32)
         times = []
         prev_count = self._scan_count
         for i, s in enumerate(scans):
             kw = {k: v for k, v in s.items()
                   if k in ("imu_t", "imu_gyro", "imu_acc", "imu_rpy",
                            "gps_xyz", "gps_sigma")}
-            pts_i, aux_i = self._make_input_np(
-                s["xyz"], s["ring"], s["time_rel"], s["scan_start"], **kw)
-            flat_w[i, :n5] = pts_i.reshape(-1)
-            flat_w[i, n5:] = aux_i.reshape(-1)
+            if quant:
+                n_i = self._pack_points_q16(s["xyz"], s["ring"],
+                                            s["time_rel"], flat_w[i, :n5])
+                aux_i = self._make_aux_np(n_i, s["time_rel"],
+                                          s["scan_start"], **kw)
+                flat_w[i, n5:] = aux_i.reshape(-1).view(np.int16)
+            else:
+                pts_i, aux_i = self._make_input_np(
+                    s["xyz"], s["ring"], s["time_rel"], s["scan_start"], **kw)
+                flat_w[i, :n5] = pts_i.reshape(-1)
+                flat_w[i, n5:] = aux_i.reshape(-1)
             self._last_scan_time = float(s["scan_start"])
             self._scan_count += 1
             times.append(float(s["scan_start"]))
-        new_state, outs = odometry_window_flat(
-            self.state, jnp.asarray(flat_w), self.p)
+        window_fn = odometry_window_flat_q16 if quant else odometry_window_flat
+        new_state, outs = window_fn(self.state, jnp.asarray(flat_w), self.p)
         self.state = new_state
         self._pending.append((times, outs.pose_matrix))
 
+        if self._boot_scans is not None:
+            self._boot_scans.extend(scans)
+            if self._scan_count >= self._boot_n:
+                res = self._bootstrap_refeed()
+                return res if res is not None else outs
+
         if len(self._pending) * W >= self._readback_interval:
             self._flush_pending()
-        if (self.p.loop_closure_enabled
+        if (self.loop_enabled
                 and self._scan_count // self._loop_every
                 > prev_count // self._loop_every):
             self._try_loop_closure()
         return outs
 
+    def _bootstrap_refeed(self):
+        """Dynamic init second pass: reset the estimator and replay the
+        buffered boot scans with the converged velocity as the first-scan
+        deskew/filter hint.  Costs one extra pass over ~boot_n scans at
+        session start; removes the smeared-first-cloud gauge offset
+        (measured 0.11 m at bench speeds).  Returns the outputs of the
+        final re-fed call so callers see only clean results."""
+        scans = self._boot_scans
+        self._boot_scans = None  # re-feed must not re-trigger
+        self._pending_loops.clear()
+        fs = self.state.filter
+        q = np.asarray(fs.nav.q, np.float64)   # wxyz (ops/se3 convention)
+        v = np.asarray(fs.nav.v, np.float64)
+        from scipy.spatial.transform import Rotation as Rs
+        if not (np.isfinite(q).all() and np.isfinite(v).all()
+                and np.linalg.norm(v) < 1e3):
+            return None  # keep the first pass; nothing sane to re-feed with
+        v_b = Rs.from_quat([q[1], q[2], q[3], q[0]]).inv().apply(v)
+        self._init_vel = v_b.astype(np.float32)
+
+        self.state = init_state(self.p)
+        self._trajectory = Trajectory([], [])
+        self._pending.clear()
+        self._scan_count = 0
+        self._last_scan_time = None
+
+        out = None
+        if self.window > 1:
+            for i in range(0, len(scans), self.window):
+                out = self.process_window(scans[i:i + self.window])
+        else:
+            for s in scans:
+                kw = {k: val for k, val in s.items()
+                      if k not in ("xyz", "ring", "time_rel", "scan_start")}
+                out = self.process_scan(s["xyz"], s["ring"], s["time_rel"],
+                                        s["scan_start"], **kw)
+        return out
+
     def _try_loop_closure(self):
-        self._flush_pending()
+        """Dispatch one loop-closure program.  NO host sync here: the
+        state update (graph re-solve, map re-bake) is entirely device-side;
+        reading ``found`` eagerly would stall the pipeline ~30-130 ms per
+        attempt through the tunneled runtime (the round-3 loop-on bench
+        measured 24 scans/s with eager reads vs 60 loops-off, with zero
+        loops actually closing — pure sync overhead).  The flags are read
+        at the next readback, where the trajectory tail is rewritten if any
+        loop actually closed."""
         self.state, loop = loop_closure_step(self.state, self.p)
-        if bool(loop.found):
-            # rewrite recorded trajectory tail from optimized keyframes
-            self._resync_trajectory()
+        self._pending_loops.append(loop.found)
 
     def _flush_pending(self):
         """Batch-fetch accumulated poses (one D2H per batch) + divergence
@@ -269,6 +426,8 @@ class LioSam:
             warnings.warn("odometry diverged (non-finite pose); reinitializing")
             self.state = init_state(self.p)
             self._last_scan_time = None
+            self._init_vel = None  # stale bootstrap hint must not re-apply
+            self._pending_loops.clear()
             # keep the finite prefix
             for t, m in zip(times, mats):
                 if np.isfinite(m).all():
@@ -277,6 +436,13 @@ class LioSam:
             return
         self._trajectory.times.extend(times)
         self._trajectory.poses.extend(list(mats))
+        if self._pending_loops:
+            founds = np.asarray(jnp.stack(self._pending_loops))
+            self._pending_loops.clear()
+            if founds.any():
+                # history was rewritten by >=1 closed loop: resync the
+                # recorded tail from the optimized keyframes
+                self._resync_trajectory()
 
     @property
     def trajectory(self) -> Trajectory:

@@ -30,6 +30,13 @@ class KeyframeStore(NamedTuple):
     surf_xyz: Array     # (K, Cs, 3)
     surf_mask: Array    # (K, Cs)
     count: Array        # () int32
+    # incremental-map bookkeeping (map_update="incremental"): the pose at
+    # which each keyframe's moments were merged into the local map, so
+    # eviction can subtract the bitwise-recomputable contribution even after
+    # graph updates moved pose6 (the reference's transformed-cloud cache has
+    # the same insertion-time staleness, mapOptmization.cpp:899-938)
+    baked_pose6: Array  # (K, 6)
+    baked: Array        # (K,) bool — contribution currently in the map
 
     @property
     def positions(self) -> Array:
@@ -55,6 +62,9 @@ class LocalMap(NamedTuple):
     surf_grid: "object"
     corner_vox: "object"   # voxelmap.VoxelFeatureMap (voxel method; tiny when unused)
     surf_vox: "object"
+    corner_mom: "object"   # voxelmap.VoxelMoments (incremental mode; tiny otherwise)
+    surf_mom: "object"
+    anchor: Array       # (3,) fine-grid anchor of the moment tables
     valid: Array        # () bool
 
 
@@ -94,6 +104,7 @@ def _empty_local_map(p: LioParams) -> LocalMap:
     # tables are the map; the flat clouds feed the knn path only)
     cc = p.map_corner_cap if not use_vox else 8
     sc = p.map_surf_cap if not use_vox else 8
+    use_inc = use_vox and p.map_update == "incremental"
     return LocalMap(
         corner_xyz=jnp.zeros((cc, 3), jnp.float32),
         corner_mask=jnp.zeros((cc,), bool),
@@ -103,6 +114,9 @@ def _empty_local_map(p: LioParams) -> LocalMap:
         surf_grid=grid(p.map_surf_cap),
         corner_vox=vox(p.vox_corner_cap, p.vox_corner_leaf, "line"),
         surf_vox=vox(p.vox_surf_cap, p.vox_surf_leaf, "plane"),
+        corner_mom=voxelmap.empty_moments(p.map_corner_cap if use_inc else 8),
+        surf_mom=voxelmap.empty_moments(p.map_surf_cap if use_inc else 8),
+        anchor=jnp.zeros(3, jnp.float32),
         valid=jnp.asarray(False),
     )
 
@@ -117,6 +131,8 @@ def init_state(p: LioParams) -> LioState:
         surf_xyz=jnp.zeros((K, p.kf_surf_cap, 3), jnp.float32),
         surf_mask=jnp.zeros((K, p.kf_surf_cap), bool),
         count=jnp.asarray(0, jnp.int32),
+        baked_pose6=jnp.zeros((K, 6), jnp.float32),
+        baked=jnp.zeros((K,), bool),
     )
     graph = graph_ops.empty_graph(
         max_poses=K,

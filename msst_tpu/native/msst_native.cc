@@ -394,6 +394,32 @@ struct PacketRing {
   std::atomic<size_t> head{0}, tail{0};
 };
 
+// Quantized scan packer: one pass from the adapter's (xyz f32, time f32,
+// ring i32) arrays into the int16 upload row [x y z t ring] * max_points
+// (saturating, zero-padded).  The Python path costs ~1.5 ms/scan at
+// 16x1800 (pad + rint + clip + astype over 144k floats); this is ~0.1 ms.
+void pack_scan_q16(const float* xyz, const float* time_rel,
+                   const int32_t* ring, int n, int max_points,
+                   const float* scales /* 5 */, int16_t* out) {
+  if (n > max_points) n = max_points;
+  const float sx = scales[0], sy = scales[1], sz = scales[2],
+              st = scales[3], sr = scales[4];
+  auto q = [](float v) -> int16_t {
+    v = v < -32767.f ? -32767.f : (v > 32767.f ? 32767.f : v);
+    return static_cast<int16_t>(lrintf(v));
+  };
+  for (int i = 0; i < n; ++i) {
+    int16_t* row = out + 5 * i;
+    row[0] = q(xyz[3 * i + 0] * sx);
+    row[1] = q(xyz[3 * i + 1] * sy);
+    row[2] = q(xyz[3 * i + 2] * sz);
+    row[3] = q(time_rel[i] * st);
+    row[4] = q(static_cast<float>(ring[i]) * sr);
+  }
+  if (n < max_points)
+    memset(out + 5 * n, 0, sizeof(int16_t) * 5 * (max_points - n));
+}
+
 void* ring_create(int capacity) {
   auto* r = new PacketRing();
   r->capacity = static_cast<size_t>(capacity);

@@ -97,23 +97,40 @@ def deskew(
     n_valid: Array,
     t_start: Array | None = None,
     enabled: Array | bool = True,
+    vel_body: Array | None = None,
+    acc_body: Array | None = None,
 ) -> Array:
-    """Rotate each point into the scan-start frame.
+    """Transform each point into the scan-start frame.
 
     xyz (N, 3), point_time (N,) absolute times on the same clock as imu_times.
     t_start: scan-start time (default: min point time).  The reference
     composes T_start^-1 * T_t with rotation-only transforms from the
     integrated gyro timeline (``deskewPoint`` :489-519).
+
+    vel_body: optional (3,) scan-start body-frame velocity [m/s].  When
+    given, the sensor's translation during the sweep is compensated too:
+    x_start = R_{start<-t} x_t + v_body dt + 0.5 acc_body dt^2.  DEVIATION
+    (an improvement): the reference stubs its position deskew to zero
+    (``findPosition`` :473-487, "speed is slow, position deskew seems to
+    have little benefit") because its odometry is not available in that
+    callback; here the ESKF velocity is in-program and free.
+    acc_body: optional (3,) scan-start body-frame acceleration (gravity
+    removed) — second-order term; matters on curved paths (centripetal
+    v^2/r reaches mm-scale per sweep at bench speeds).
     """
     if t_start is None:
         t_start = point_time.min()
     rot_t = _interp_rotation(imu_times, imu_rots, n_valid, point_time)  # (N,3)
     rot_start = _interp_rotation(imu_times, imu_rots, n_valid, jnp.reshape(t_start, (1,)))
-    # q_bt = q_start^-1 * q_t  (rotation-only; translation deskew disabled as in ref)
     q_t = se3.quat_from_rpy(rot_t)
     q_s = se3.quat_from_rpy(rot_start)
     q_bt = se3.quat_mul(se3.quat_conj(q_s), q_t)
     out = se3.quat_rotate(q_bt, xyz)
+    if vel_body is not None:
+        dt = (point_time - t_start)[:, None]
+        out = out + vel_body[None, :] * dt
+        if acc_body is not None:
+            out = out + 0.5 * acc_body[None, :] * dt * dt
     on = jnp.asarray(enabled)
     return jnp.where(on, out, xyz)
 

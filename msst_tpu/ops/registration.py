@@ -247,6 +247,8 @@ def scan_to_map_voxel(
     eig_threshold: float = 100.0,
     min_points: int = 50,
     use_pallas: bool = False,
+    plateau_rtol: float = 1e-3,
+    plateau_min_iters: int = 2,
 ) -> ScanToMapResult:
     """Same contract as :func:`scan_to_map`, but correspondences come from
     precomputed per-voxel line/plane features (one structured lookup per
@@ -335,7 +337,8 @@ def scan_to_map_voxel(
         # voxel correspondences flip-flop below the mm scale: also stop when
         # the mean squared residual stops improving (plateau detection; the
         # reference's exact-NN geometry converges without this)
-        plateau = (it >= 2) & (prev_cost - cost < 1e-3 * cost)
+        plateau = (it >= plateau_min_iters) & (
+            prev_cost - cost < plateau_rtol * cost)
         return pose, P, degenerate, conv | plateau, it + 1, cost, nc, ns
 
     P0 = jnp.eye(6, dtype=init_pose.dtype)
@@ -391,8 +394,14 @@ def icp_point2point(
         _, delta, it, _ = state
         return (delta > transformation_eps) & (it < max_iters)
 
-    state = (init_pose, jnp.asarray(jnp.inf, src_xyz.dtype), jnp.asarray(0, jnp.int32),
-             jnp.asarray(0.0, src_xyz.dtype))
+    # carry seeds derive from the inputs (a numeric no-op) so shard_map's
+    # varying-manual-axes check passes when the clouds are device-varying
+    # (parallel/multisession.cross_session_align runs this per session)
+    zero = jnp.sum(src_mask).astype(src_xyz.dtype) * 0.0
+    state = (se3.Pose(init_pose.q + zero, init_pose.t + zero),
+             jnp.asarray(jnp.inf, src_xyz.dtype) + zero,
+             jnp.asarray(0, jnp.int32) + jnp.sum(src_mask) * 0,
+             zero)
     pose, delta, it, nmatch = jax.lax.while_loop(cond, body, state)
 
     moved = pose.apply(src_xyz)

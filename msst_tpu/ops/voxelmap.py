@@ -217,6 +217,159 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental moment tables (delta insert / evict)
+# ---------------------------------------------------------------------------
+
+
+class VoxelMoments(NamedTuple):
+    """Persistent per-voxel first-moment table for incremental map updates.
+
+    The TPU-native replacement for the reference's transformed-cloud cache
+    (``mapOptmization.cpp:899-938`` ``laserCloudMapContainer``): instead of
+    re-gathering and re-downsampling every nearby keyframe at each keyframe
+    insert, each keyframe's feature cloud is summarized ONCE into per-voxel
+    centroid moments and merged into this table; eviction merges the same
+    moments negated (see ``merge_moments``).  Rows are sorted by packed cell
+    key (sentinel 2**30 marks empty slots), positions are demeaned by the
+    CELL CENTER (residuals <= leaf/2, so plain f32 sums keep metric
+    precision — segments.py).
+
+    Only first moments are kept: the feature fit happens at a coarser leaf
+    from the per-cell centroids (``moments_centroids`` + :func:`build`),
+    which reproduces the reference's centroid-downsample-then-fit semantics
+    (``extractCloud`` :899-938) exactly.
+    """
+
+    key: Array   # (V,) int32 packed 10/10/10 origin-relative cell key, sorted
+    rsum: Array  # (V, 3) sum of (xyz - cell_center) over member points
+    cnt: Array   # (V,) member count (exact in f32 up to 2^24)
+
+    @property
+    def capacity(self) -> int:
+        return self.key.shape[0]
+
+
+def empty_moments(capacity: int) -> VoxelMoments:
+    return VoxelMoments(
+        key=jnp.full((capacity,), _BIG, jnp.int32),
+        rsum=jnp.zeros((capacity, 3), jnp.float32),
+        cnt=jnp.zeros((capacity,), jnp.float32),
+    )
+
+
+def _decode_center(key: Array, leaf: Array, origin: Array) -> Array:
+    """Cell centers from packed keys (inverse of the +512-shifted packing)."""
+    c = jnp.stack([(key >> 20) & 1023, (key >> 10) & 1023, key & 1023],
+                  axis=-1)
+    return origin + (c.astype(jnp.float32) - 512 + 0.5) * leaf
+
+
+def points_to_moments(xyz: Array, mask: Array, leaf: float | Array,
+                      origin: Array, capacity: int) -> VoxelMoments:
+    """Summarize a point cloud into sorted per-cell centroid moments.
+
+    Same grid/packing as :func:`build`'s origin path (points outside the
+    +-512-cell domain around `origin` are dropped)."""
+    leaf_f = jnp.asarray(leaf, jnp.float32)
+    origin_f = jnp.asarray(origin, jnp.float32)
+    rel = jnp.floor((xyz - origin_f) / leaf_f).astype(jnp.int32) + 512
+    ok = mask & jnp.all((rel >= 0) & (rel < 1024), axis=1)
+    key = (rel[:, 0] << 20) | (rel[:, 1] << 10) | rel[:, 2]
+    key = jnp.where(ok, key, _BIG)
+    key_s, x0, x1, x2 = jax.lax.sort(
+        (key, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1)
+    xyz_s = jnp.stack([x0, x1, x2], axis=1)
+    valid_s = key_s < _BIG
+
+    new_cell = (key_s != jnp.roll(key_s, 1)).at[0].set(True) & valid_s
+    seg = jnp.cumsum(new_cell.astype(jnp.int32)) - 1
+    seg = jnp.where(valid_s, seg, capacity)
+    bounds = segments.segment_boundaries(seg, capacity)
+    w = valid_s.astype(jnp.float32)
+    r_s = (xyz_s - _decode_center(key_s, leaf_f, origin_f)) * w[:, None]
+    sums = segments.sorted_segment_sum(
+        jnp.concatenate([r_s, w[:, None]], axis=1), seg, capacity,
+        boundaries=bounds, compensated=False)
+    key_v = segments.sorted_segment_first(key_s, seg, capacity,
+                                          boundaries=bounds)
+    occupied = bounds[0] < bounds[1]
+    return VoxelMoments(
+        key=jnp.where(occupied, key_v, _BIG),
+        rsum=jnp.where(occupied[:, None], sums[:, :3], 0.0),
+        cnt=jnp.where(occupied, sums[:, 3], 0.0),
+    )
+
+
+def scale_moments(m: VoxelMoments, s: float) -> VoxelMoments:
+    """s = -1 turns a contribution into its eviction delta."""
+    return m._replace(rsum=m.rsum * s, cnt=m.cnt * s)
+
+
+def merge_moments(a: VoxelMoments, b: VoxelMoments, capacity: int,
+                  min_cnt: float = 0.5,
+                  trim_center: Array | None = None,
+                  trim_radius: float | Array | None = None,
+                  leaf: float | Array | None = None,
+                  origin: Array | None = None) -> VoxelMoments:
+    """Merge two sorted moment tables: cells with equal keys sum; cells whose
+    count drops below `min_cnt` (evicted away) die; with `trim_center`/
+    `trim_radius`, cells farther than the radius die too (the reference's
+    50 m surrounding-keyframe radius, ``extractNearby`` :862-897, applied at
+    cell granularity — this also bounds table occupancy).
+
+    Eviction via ``scale_moments(m, -1)`` cancels counts EXACTLY (integer
+    sums in f32); position-sum residue is ~ULP of the cell sums.  If more
+    than `capacity` cells survive, the highest cell keys are dropped
+    (trimming makes this rare; the drop is logged nowhere — size caps so
+    the overflow policy stays deterministic)."""
+    key = jnp.concatenate([a.key, b.key])
+    vals = jnp.concatenate([
+        jnp.concatenate([a.rsum, a.cnt[:, None]], axis=1),
+        jnp.concatenate([b.rsum, b.cnt[:, None]], axis=1),
+    ])
+    n_tot = key.shape[0]
+    key_s, v0, v1, v2, v3 = jax.lax.sort(
+        (key, vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]), num_keys=1)
+    vals_s = jnp.stack([v0, v1, v2, v3], axis=1)
+    valid_s = key_s < _BIG
+    new_cell = (key_s != jnp.roll(key_s, 1)).at[0].set(True) & valid_s
+    seg = jnp.cumsum(new_cell.astype(jnp.int32)) - 1
+    seg = jnp.where(valid_s, seg, n_tot)
+    bounds = segments.segment_boundaries(seg, n_tot)
+    sums = segments.sorted_segment_sum(vals_s, seg, n_tot, boundaries=bounds,
+                                       compensated=False)
+    key_v = segments.sorted_segment_first(key_s, seg, n_tot, boundaries=bounds)
+    alive = (bounds[0] < bounds[1]) & (sums[:, 3] >= min_cnt)
+    if trim_center is not None:
+        center = _decode_center(key_v, jnp.asarray(leaf, jnp.float32),
+                                jnp.asarray(origin, jnp.float32))
+        d2 = jnp.sum((center - trim_center) ** 2, axis=1)
+        alive = alive & (d2 <= jnp.asarray(trim_radius, jnp.float32) ** 2)
+    key_v = jnp.where(alive, key_v, _BIG)
+    k2, r0, r1, r2, c2 = jax.lax.sort(
+        (key_v, sums[:, 0], sums[:, 1], sums[:, 2], sums[:, 3]), num_keys=1)
+    dead = k2[:capacity] >= _BIG
+    return VoxelMoments(
+        key=k2[:capacity],
+        rsum=jnp.where(dead[:, None], 0.0,
+                       jnp.stack([r0, r1, r2], axis=1)[:capacity]),
+        cnt=jnp.where(dead, 0.0, c2[:capacity]),
+    )
+
+
+def moments_centroids(m: VoxelMoments, leaf: float | Array, origin: Array
+                      ) -> tuple[Array, Array]:
+    """(xyz, mask): one centroid pseudo-point per occupied cell — the input
+    the coarse feature fit (:func:`build`) consumes, identical to the
+    reference's centroid-downsampled local map."""
+    mask = m.key < _BIG
+    center = _decode_center(m.key, jnp.asarray(leaf, jnp.float32),
+                            jnp.asarray(origin, jnp.float32))
+    xyz = center + m.rsum / jnp.maximum(m.cnt, 1.0)[:, None]
+    return jnp.where(mask[:, None], xyz, 0.0), mask
+
+
 class VoxelLookup(NamedTuple):
     idx: Array        # (Q,) best matching voxel slot (clipped)
     found: Array      # (Q,) bool

@@ -8,4 +8,7 @@ the leading axis, so scaling is a sharding annotation, not a rewrite.
 """
 
 from .mesh import make_mesh, shard_batch  # noqa: F401
-from .multisession import batched_odometry_step, make_batched_state  # noqa: F401
+from .multisession import (batched_odometry_step,  # noqa: F401
+                           cooperative_map_merge,
+                           cooperative_map_merge_selective,
+                           cross_session_align, make_batched_state)

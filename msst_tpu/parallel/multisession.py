@@ -97,9 +97,309 @@ def cooperative_map_merge(states: LioState, scan_time, p: LioParams,
             surf_xyz=gath(kf.surf_xyz),
             surf_mask=gath(kf.surf_mask) & fvalid[:, None],
             count=jnp.asarray(fvalid.shape[0], jnp.int32),
+            baked_pose6=gath(kf.baked_pose6),
+            baked=gath(kf.baked) & fvalid,
         )
         local = jax.vmap(lambda pos, tt: _rebuild_local_map(fleet, pos, tt, p)
                          )(st.pose6[:, 3:], t)
+        return st._replace(local_map=local)
+
+    fn = shard_map(per_device, mesh=mesh,
+                   in_specs=(P(axis), P(axis)), out_specs=P(axis))
+    return fn(states, scan_time)
+
+
+@partial(jax.jit, static_argnames=("p", "mesh", "axis"))
+def cross_session_align(states: LioState, p: LioParams, mesh: Mesh,
+                        axis: str = "session"):
+    """Inter-session loop closure + anchor-graph alignment (VERDICT r2 #6).
+
+    Each session ``all_gather``s only the fleet's NEWEST keyframe (cloud +
+    pose — one keyframe per session, not a store), detects a rendezvous
+    (another session's newest keyframe within the loop radius of its own),
+    verifies it with ICP against its own local submap, and turns the result
+    into a between factor on per-session ANCHOR nodes — the multi-robot
+    anchor formulation (one SE(3) frame-correction node per session; the
+    single-session analogue is ``performLoopClosure``'s between factor,
+    ``mapOptmization.cpp:575-604``).  The tiny S-node anchor graph is
+    replicated (factors all_gathered) and solved identically on every
+    device with ops/graph; each session then applies its anchor correction
+    rigidly to its keyframe store, trajectory tail and filter pose.
+
+    Returns (new_states, diagnostics) where diagnostics carries per-session
+    (found, candidate_session, fitness, anchor_pose6).
+    """
+    shard_map = jax.shard_map
+
+    def per_device(st: LioState):
+        from ..ops import graph as graph_ops
+        from ..ops import knn, registration, se3, voxel
+        from ..ops.pointcloud import Cloud
+
+        kf = st.kf
+        b, K = kf.pose6.shape[:2]
+        S = jax.lax.axis_size(axis)
+        me = jax.lax.axis_index(axis)
+
+        newest = jnp.maximum(kf.count - 1, 0)                     # (b,)
+        bidx = jnp.arange(b)
+        n_pose6 = kf.pose6[bidx, newest]                          # (b, 6)
+        n_cx = kf.corner_xyz[bidx, newest]
+        n_cm = kf.corner_mask[bidx, newest] & (kf.count > 0)[:, None]
+        n_sx = kf.surf_xyz[bidx, newest]
+        n_sm = kf.surf_mask[bidx, newest] & (kf.count > 0)[:, None]
+
+        g_pose6 = jax.lax.all_gather(n_pose6, axis)               # (S, b, 6)
+        g_cx = jax.lax.all_gather(n_cx, axis)
+        g_cm = jax.lax.all_gather(n_cm, axis)
+        g_sx = jax.lax.all_gather(n_sx, axis)
+        g_sm = jax.lax.all_gather(n_sm, axis)
+        g_count = jax.lax.all_gather(kf.count, axis)              # (S, b)
+
+        def one_session(bi):
+            my6 = n_pose6[bi]
+            d2 = jnp.sum((g_pose6[:, bi, 3:] - my6[3:]) ** 2, axis=-1)
+            empty = (jnp.arange(S) == me) | (g_count[:, bi] == 0)
+            d2 = jnp.where(empty, jnp.inf, d2)
+            cand = jnp.argmin(d2)
+            cand_ok = (d2[cand] < p.history_keyframe_search_radius ** 2) \
+                & (kf.count[bi] > 0)
+
+            # my submap: own keyframes near my newest pose (loop.py _submap
+            # role), downsampled into the loop cap
+            # NOTE kf is batched here — KeyframeStore.positions slices the
+            # unbatched layout, so index pose6 explicitly
+            sel_d2 = jnp.sum((kf.pose6[bi, :, 3:] - my6[3:]) ** 2, axis=-1)
+            near = (sel_d2 < p.history_keyframe_search_radius ** 2) \
+                & (jnp.arange(K) < kf.count[bi])
+            poses = se3.Pose.from_vec6(kf.pose6[bi])
+            sub_xyz = jnp.concatenate([
+                poses.apply(kf.corner_xyz[bi]).reshape(-1, 3),
+                poses.apply(kf.surf_xyz[bi]).reshape(-1, 3)], axis=0)
+            sub_mask = jnp.concatenate([
+                (kf.corner_mask[bi] & near[:, None]).reshape(-1),
+                (kf.surf_mask[bi] & near[:, None]).reshape(-1)])
+            sub = voxel.voxel_downsample(
+                Cloud.create(sub_xyz, mask=sub_mask), p.loop_leaf_size,
+                capacity=p.loop_submap_cap)
+
+            # candidate session's newest keyframe cloud in ITS map frame
+            cpose = se3.Pose.from_vec6(g_pose6[cand, bi])
+            src_xyz = jnp.concatenate([
+                cpose.apply(g_cx[cand, bi]), cpose.apply(g_sx[cand, bi])],
+                axis=0)
+            src_mask = jnp.concatenate([g_cm[cand, bi], g_sm[cand, bi]])
+
+            grid = knn.build(sub.xyz, sub.mask, cell_size=2.0,
+                             table_size=p.knn_table_size)
+            res = registration.icp_point2point(
+                src_xyz, src_mask, grid, sub.xyz, se3.Pose.identity(),
+                max_iters=50,
+                max_corr_dist=p.history_keyframe_search_radius,
+                candidates_per_cell=p.knn_candidates)
+            good = cand_ok & res.converged & (
+                res.fitness < p.history_keyframe_fitness_score) & (
+                res.matched_frac > 0.3) & jnp.all(jnp.isfinite(res.pose.q)) \
+                & jnp.all(jnp.isfinite(res.pose.t))
+            # masked-out factors must still be finite (NaN * 0 = NaN in the
+            # graph relinearization)
+            safe = se3.Pose(
+                jnp.where(good, res.pose.q, se3.quat_identity()),
+                jnp.where(good, res.pose.t, jnp.zeros(3)))
+            # anchors: T_me (identity-referenced) vs T_cand such that
+            # T_cand = T_me * T_icp  (T_icp maps cand-frame content into my
+            # frame) -> between(me, cand) measurement = T_icp
+            return good, cand, res.fitness, safe
+
+        good, cand, fitness, t_icp = jax.vmap(one_session)(bidx)
+
+        # --- replicate the S-anchor graph: gather every session's factor
+        # (use batch row 0 — multi-robot alignment is per-device here)
+        f_good = jax.lax.all_gather(good[0], axis)                # (S,)
+        f_cand = jax.lax.all_gather(cand[0], axis)
+        f_fit = jax.lax.all_gather(fitness[0], axis)
+        f_q = jax.lax.all_gather(t_icp.q[0], axis)
+        f_t = jax.lax.all_gather(t_icp.t[0], axis)
+
+        g = graph_ops.empty_graph(max_poses=S, max_priors=S,
+                                  max_betweens=S, max_gps=1)
+        g = g._replace(pose_mask=jnp.ones(S, bool))
+        # weak identity priors keep unconstrained anchors at identity;
+        # strong prior pins session 0 (the datum)
+        si = jnp.where(jnp.arange(S)[:, None] == 0, 1e3, 1e-1)
+        pr = g.priors._replace(
+            idx=jnp.arange(S, dtype=jnp.int32),
+            sqrt_info=jnp.broadcast_to(si, (S, 6)).astype(jnp.float32),
+            mask=jnp.ones(S, bool))
+        sigma = jnp.maximum(f_fit, 1e-2)
+        bw = g.betweens._replace(
+            i=jnp.arange(S, dtype=jnp.int32), j=f_cand,
+            meas=graph_ops.Pose(f_q, f_t),
+            sqrt_info=jnp.broadcast_to(1.0 / sigma[:, None], (S, 6)),
+            mask=f_good & (f_cand != jnp.arange(S)))
+        g = g._replace(priors=pr, betweens=bw)
+        # anchor poses start at identity + a varying zero so the optimize
+        # fori_loop carry matches its (factor-dependent, device-varying)
+        # output under shard_map's manual-axes check
+        vzero = jnp.sum(f_t) * 0.0
+        g = g._replace(poses=graph_ops.Pose(g.poses.q + vzero,
+                                            g.poses.t + vzero))
+        g = graph_ops.optimize(g, iters=8)
+        anchor = graph_ops.Pose(g.poses.q[me], g.poses.t[me])    # my T_s
+
+        # --- apply the rigid frame correction to this session
+        def apply_correction(st):
+            poses = se3.Pose.from_vec6(
+                st.kf.pose6.reshape(-1, 6))
+            corrected = anchor.compose(poses)
+            new6 = corrected.to_vec6().reshape(b, K, 6)
+            kvalid = jnp.arange(K)[None, :] < st.kf.count[:, None]
+            new6 = jnp.where(kvalid[..., None], new6, st.kf.pose6)
+            cur = anchor.compose(se3.Pose.from_vec6(st.pose6.reshape(-1, 6)))
+            nav = st.filter.nav
+            navp = se3.Pose(nav.q.reshape(-1, 4), nav.p.reshape(-1, 3))
+            navc = anchor.compose(navp)
+            return st._replace(
+                kf=st.kf._replace(pose6=new6),
+                pose6=cur.to_vec6().reshape(b, 6),
+                filter=st.filter._replace(nav=nav._replace(
+                    q=navc.q.reshape(b, 4), p=navc.t.reshape(b, 3),
+                    v=se3.quat_rotate(
+                        jnp.broadcast_to(anchor.q, (b, 4)), nav.v))),
+            )
+
+        any_loop = jnp.any(f_good)
+        st = jax.lax.cond(any_loop, apply_correction, lambda s: s, st)
+        diag = {"found": good, "candidate_session": cand,
+                "fitness": fitness,
+                "anchor_pose6": jnp.broadcast_to(
+                    se3.Pose(anchor.q, anchor.t).to_vec6(), (b, 6))}
+        return st, diag
+
+    fn = shard_map(per_device, mesh=mesh,
+                   in_specs=(P(axis),), out_specs=(P(axis), P(axis)))
+    return fn(states)
+
+
+@partial(jax.jit, static_argnames=("p", "mesh", "axis", "budget"))
+def cooperative_map_merge_selective(states: LioState, scan_time,
+                                    p: LioParams, mesh: Mesh,
+                                    axis: str = "session",
+                                    budget: int = 8) -> LioState:
+    """Position-first cooperative mapping (round-2 VERDICT #6).
+
+    :func:`cooperative_map_merge` all_gathers FULL keyframe stores —
+    S x ~100 MB per device.  This variant gathers only keyframe POSITIONS
+    (K x 5 floats per session), then ships selected keyframe CLOUDS around
+    an S-1-step ``ppermute`` ring: at step s each device packs the
+    ``budget`` of its keyframes nearest to the pose of device (i+s) — every
+    device can compute every peer's need from the gathered positions — and
+    sends them to it, keeping a running best-``budget`` remote buffer.
+    Per-device memory: own store + ONE in-flight chunk + the fixed remote
+    buffer, independent of fleet size; ICI traffic carries only selected
+    clouds.  Extends ``extractNearby``'s radius semantics
+    (``mapOptmization.cpp:862-897``) across sessions; assumes the fleet
+    shares an approximate common frame (GPS-aligned starts), like any
+    position-based multi-robot rendezvous.
+    """
+    shard_map = jax.shard_map
+
+    from ..models.liosam.mapping import _rebuild_local_map
+    from ..models.liosam.state import KeyframeStore
+
+    def per_device(st: LioState, t):
+        kf = st.kf
+        b, K = kf.pose6.shape[:2]
+        S = jax.lax.axis_size(axis)
+        me = jax.lax.axis_index(axis)
+        valid = (jnp.arange(K)[None, :] < kf.count[:, None])     # (b, K)
+
+        # --- position-first: gather (S, b, 4) current poses and per-kf
+        # positions (S, b, K, 3) + validity — the only full-fleet exchange
+        cur_pos = st.pose6[:, 3:]                                # (b, 3)
+        fleet_cur = jax.lax.all_gather(cur_pos, axis)            # (S, b, 3)
+        my_kf_pos = jnp.where(valid[..., None], kf.pose6[..., 3:], 1e9)
+
+        R = budget
+        Ck, Cs = kf.corner_xyz.shape[2], kf.surf_xyz.shape[2]
+
+        # remote buffer: best-R remote keyframes by distance to MY pose
+        buf = dict(
+            d2=jnp.full((b, R), jnp.inf),
+            pose6=jnp.zeros((b, R, 6)),
+            time=jnp.full((b, R), -1e9),
+            cx=jnp.zeros((b, R, Ck, 3)), cm=jnp.zeros((b, R, Ck), bool),
+            sx=jnp.zeros((b, R, Cs, 3)), sm=jnp.zeros((b, R, Cs), bool),
+        )
+
+        def ring_step(s, buf):
+            dest = jax.lax.rem(me + s, S)
+            # pack: my `budget` keyframes nearest dest's current pose
+            dpos = fleet_cur[dest]                               # (b, 3)
+            d2 = jnp.sum((my_kf_pos - dpos[:, None, :]) ** 2, axis=-1)
+            neg, sel = jax.lax.top_k(-d2, R)                     # (b, R)
+            sel_ok = jnp.isfinite(-neg) & (
+                (-neg) < p.surrounding_keyframe_search_radius ** 2)
+            bidx = jnp.arange(b)[:, None]
+            chunk = dict(
+                pose6=kf.pose6[bidx, sel],
+                time=kf.time[bidx, sel],
+                cx=kf.corner_xyz[bidx, sel],
+                cm=kf.corner_mask[bidx, sel] & sel_ok[..., None],
+                sx=kf.surf_xyz[bidx, sel],
+                sm=kf.surf_mask[bidx, sel] & sel_ok[..., None],
+                ok=sel_ok,
+            )
+            # ship selected clouds one hop: i -> (i+s) mod S
+            perm = [(i, (i + s) % S) for i in range(S)]
+            recv = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, axis, perm), chunk)
+            # merge into best-R buffer (score: distance to MY pose)
+            rd2 = jnp.sum((recv["pose6"][..., 3:]
+                           - cur_pos[:, None, :]) ** 2, axis=-1)
+            rd2 = jnp.where(recv["ok"], rd2, jnp.inf)
+            all_d2 = jnp.concatenate([buf["d2"], rd2], axis=1)   # (b, 2R)
+            negk, keep = jax.lax.top_k(-all_d2, R)
+
+            def take(a, c):
+                both = jnp.concatenate([a, c], axis=1)
+                return both[bidx, keep]
+
+            return dict(
+                d2=-negk,
+                pose6=take(buf["pose6"], recv["pose6"]),
+                time=take(buf["time"], recv["time"]),
+                cx=take(buf["cx"], recv["cx"]), cm=take(buf["cm"], recv["cm"]),
+                sx=take(buf["sx"], recv["sx"]), sm=take(buf["sm"], recv["sm"]),
+            )
+
+        # unrolled ring: ppermute permutations must be static, so the S-1
+        # hop patterns are baked per step (S is the static mesh size)
+        for s in range(1, S):
+            buf = ring_step(s, buf)
+
+        keep_ok = jnp.isfinite(buf["d2"])                        # (b, R)
+        fleet = KeyframeStore(
+            pose6=jnp.concatenate(
+                [jnp.where(valid[..., None], kf.pose6, 1e9),
+                 jnp.where(keep_ok[..., None], buf["pose6"], 1e9)], axis=1),
+            time=jnp.concatenate(
+                [jnp.where(valid, kf.time, -1e9),
+                 jnp.where(keep_ok, buf["time"], -1e9)], axis=1),
+            corner_xyz=jnp.concatenate([kf.corner_xyz, buf["cx"]], axis=1),
+            corner_mask=jnp.concatenate(
+                [kf.corner_mask & valid[..., None],
+                 buf["cm"] & keep_ok[..., None]], axis=1),
+            surf_xyz=jnp.concatenate([kf.surf_xyz, buf["sx"]], axis=1),
+            surf_mask=jnp.concatenate(
+                [kf.surf_mask & valid[..., None],
+                 buf["sm"] & keep_ok[..., None]], axis=1),
+            count=jnp.full((b,), K + R, jnp.int32),  # (b,): vmapped below
+            baked_pose6=jnp.zeros((b, K + R, 6)),
+            baked=jnp.zeros((b, K + R), bool),
+        )
+        local = jax.vmap(lambda fl, pos, tt: _rebuild_local_map(fl, pos, tt, p)
+                         )(fleet, st.pose6[:, 3:], t)
         return st._replace(local_map=local)
 
     fn = shard_map(per_device, mesh=mesh,

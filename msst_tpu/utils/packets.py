@@ -114,6 +114,20 @@ class DecoderConfig:
     # "0,0,0,0" would emit nothing (rawdata.cc:71-75, :760-788).
     filter_threshold: tuple = ()
 
+    def with_status_vertical_angles(self, vertical_angle_list_deg
+                                    ) -> "DecoderConfig":
+        """Live ``timooStatus`` consumption: the convert node overrides the
+        per-laser vertical angles from the device's status/DIFOP message at
+        runtime (``convert.cc:75-76`` -> ``RawData::unpackDifop``,
+        ``rawdata.cc:489-505`` — degrees in, radians recomputed).  Returns a
+        new config; feed it to the decoder for subsequent packets."""
+        angles = tuple(float(a) for a in vertical_angle_list_deg)
+        if len(angles) != self.num_lasers:
+            raise ValueError(
+                f"status carries {len(angles)} vertical angles, decoder has "
+                f"{self.num_lasers} lasers")
+        return dataclasses.replace(self, vert_angles_deg=angles)
+
     def laser_tables(self):
         """Dense per-laser arrays (num_lasers,) for the decode math."""
         L = self.num_lasers

@@ -56,9 +56,19 @@ def _ray_box_exterior(o, d, lo, hi):
 
 def raycast_scan(world: World, pose: np.ndarray, n_scan=16, horizon=360,
                  max_range=80.0, noise=0.01, rng=None,
-                 elev_limits=(-15.0, 15.0), spin_period=0.1):
+                 elev_limits=(-15.0, 15.0), spin_period=0.1,
+                 traj=None, t0=0.0):
     """One spinning-LiDAR scan from 4x4 pose.  Returns (xyz, ring, time_rel)
-    in the SENSOR frame with per-point time offsets over one revolution."""
+    in the SENSOR frame with per-point time offsets over one revolution.
+
+    traj: optional :class:`SimTrajectory` — when given, each azimuth column
+    is cast from the sensor pose at its own firing time ``t0 + time_rel``
+    (motion-true sweep: points are reported in the INSTANTANEOUS sensor
+    frame, like a real spinning lidar, so scans of a moving platform are
+    skewed and the pipeline's deskew is exercised for real).  Without it the
+    whole scan is a static snapshot from `pose` (the pre-round-3 behavior:
+    that snapshot made the gyro-driven deskew CORRUPT sim scans by the
+    rotation covered per sweep, ~1.1 deg at the bench's 0.2 rad/s)."""
     rng = rng or np.random.default_rng(0)
     az = np.linspace(-np.pi, np.pi, horizon, endpoint=False)
     elev = np.radians(np.linspace(elev_limits[0], elev_limits[1], n_scan))
@@ -66,9 +76,22 @@ def raycast_scan(world: World, pose: np.ndarray, n_scan=16, horizon=360,
     d_sensor = np.stack(
         [np.cos(E) * np.cos(A), np.cos(E) * np.sin(A), np.sin(E)], axis=-1
     ).reshape(-1, 3)
-    R, t = pose[:3, :3], pose[:3, 3]
-    d_world = d_sensor @ R.T
-    o = np.broadcast_to(t, d_world.shape)
+    if traj is not None:
+        frac_col = (az + np.pi) / (2 * np.pi)
+        Rs_col = np.empty((horizon, 3, 3))
+        t_col = np.empty((horizon, 3))
+        for j in range(horizon):
+            Tj = traj.pose(t0 + frac_col[j] * spin_period)
+            Rs_col[j] = Tj[:3, :3]
+            t_col[j] = Tj[:3, 3]
+        # rays grouped (n_scan, horizon, 3): column j uses pose(t_j)
+        d_sens_img = d_sensor.reshape(n_scan, horizon, 3)
+        d_world = np.einsum("jab,sjb->sja", Rs_col, d_sens_img).reshape(-1, 3)
+        o = np.broadcast_to(t_col[None], (n_scan, horizon, 3)).reshape(-1, 3)
+    else:
+        R, t = pose[:3, :3], pose[:3, 3]
+        d_world = d_sensor @ R.T
+        o = np.broadcast_to(t, d_world.shape)
 
     lo = np.array([world.room[0][0], world.room[1][0], world.room[2][0]])
     hi = np.array([world.room[0][1], world.room[1][1], world.room[2][1]])
@@ -173,7 +196,7 @@ def make_dataset(world: World, traj: SimTrajectory, n_scans=40, scan_dt=0.1,
         T = traj.pose(t0)
         xyz, ring, time_rel = raycast_scan(
             world, T, n_scan=n_scan, horizon=horizon, noise=noise, rng=rng,
-            spin_period=scan_dt)
+            spin_period=scan_dt, traj=traj, t0=t0)
         sel = (ts >= t0 - 0.5) & (ts <= t0 + scan_dt + 0.05)
         k0 = int(np.searchsorted(ts, t0))
         scans.append(dict(

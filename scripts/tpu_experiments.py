@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--no-quant", action="store_true")
     ap.add_argument("--map-update", default="incremental")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--chained", action="store_true",
+                    help="measure pure DEVICE time: upload all windows "
+                    "once, replay them inside ONE jit (lax.fori_loop), "
+                    "read back a scalar — the only timing method the "
+                    "tunneled runtime can't distort (CLAUDE.md)")
     args = ap.parse_args()
 
     import jax
@@ -57,6 +62,9 @@ def main():
                             scan_dt=0.1, n_scan=n_scan, horizon=horizon,
                             seed=7)
     lio = LioSam(p, window=W)
+
+    if args.chained:
+        return run_chained(args, p, lio, data, W)
 
     def feed(batch):
         return lio.process_window([
@@ -90,6 +98,77 @@ def main():
         "scans_per_sec": round(args.scans / wall, 2),
         "ms_per_scan": round(1000.0 * wall / args.scans, 2),
         "max_traj_err_m": round(err, 4),
+        "backend": jax.devices()[0].platform,
+    }))
+
+
+def run_chained(args, p, lio, data, W):
+    """Device-time probe: pack every window on the host, upload ONCE, and
+    run the whole drive inside one jitted fori_loop over window slices.
+    wall/scans = device ms/scan; bench wall minus this = host+tunnel."""
+    import time
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from msst_tpu.models.liosam.mapping import (odometry_window_flat,
+                                                odometry_window_flat_q16)
+    from msst_tpu.models.liosam.state import init_state
+
+    quant = p.quantized_upload
+    n5 = p.max_points * 5
+    a8 = (2 * p.imu_window + 3) * 8
+    D = n5 + (2 * a8 if quant else a8)
+    n_win = len(data) // W
+    dtype = np.int16 if quant else np.float32
+    all_flat = np.zeros((n_win, W, D), dtype)
+    for w in range(n_win):
+        for i, s in enumerate(data[w * W:(w + 1) * W]):
+            if quant:
+                n_i = lio._pack_points_q16(s["xyz"], s["ring"], s["time_rel"],
+                                           all_flat[w, i, :n5])
+                aux = lio._make_aux_np(n_i, s["time_rel"], s["scan_start"],
+                                       imu_t=s["imu_t"],
+                                       imu_gyro=s["imu_gyro"],
+                                       imu_acc=s["imu_acc"],
+                                       imu_rpy=s["imu_rpy"])
+                all_flat[w, i, n5:] = aux.reshape(-1).view(np.int16)
+            else:
+                pts, aux = lio._make_input_np(
+                    s["xyz"], s["ring"], s["time_rel"], s["scan_start"],
+                    imu_t=s["imu_t"], imu_gyro=s["imu_gyro"],
+                    imu_acc=s["imu_acc"], imu_rpy=s["imu_rpy"])
+                all_flat[w, i, :n5] = pts.reshape(-1)
+                all_flat[w, i, n5:] = aux.reshape(-1)
+            lio._last_scan_time = float(s["scan_start"])
+
+    window_fn = odometry_window_flat_q16 if quant else odometry_window_flat
+
+    @partial(jax.jit, static_argnames=("k0", "k1"))
+    def replay(state, flat_all, k0, k1):
+        def body(i, st):
+            st, _ = window_fn(st, flat_all[i], p)
+            return st
+        st = jax.lax.fori_loop(k0, k1, body, state)
+        return st.pose6
+
+    flat_dev = jnp.asarray(all_flat)
+    # warm = same static signature as the measured call (one compile)
+    state = init_state(p)
+    pose6 = replay(state, flat_dev, 0, n_win)
+    jax.block_until_ready(pose6)
+    state = init_state(p)
+    t0 = time.perf_counter()
+    pose6 = replay(state, flat_dev, 0, n_win)
+    jax.block_until_ready(pose6)
+    wall = time.perf_counter() - t0
+    n_scans = n_win * W
+    print(json.dumps({
+        "exp": {"chained": True, "window": W, "quant": quant,
+                "windows": n_win},
+        "device_ms_per_scan": round(1000.0 * wall / n_scans, 2),
+        "scans": n_scans,
         "backend": jax.devices()[0].platform,
     }))
 

@@ -601,3 +601,22 @@ def test_transform_node_makes_static_world_static():
     d = decode_packets(packets_arr)
     naive_x = d["x"][d["valid"]]
     assert naive_x.max() - naive_x.min() > 3.0
+
+
+def test_status_vertical_angle_override():
+    """timooStatus consumption (convert.cc:75-76 -> unpackDifop,
+    rawdata.cc:489-505): live vertical angles replace the config's and the
+    decode uses them (ring order re-derives too)."""
+    from msst_tpu.utils.packets import DecoderConfig
+
+    cfg = DecoderConfig()
+    new_angles = tuple(a + 0.5 for a in cfg.vert_angles_deg)
+    cfg2 = cfg.with_status_vertical_angles(new_angles)
+    assert cfg2.vert_angles_deg == new_angles
+    t1, t2 = cfg.laser_tables(), cfg2.laser_tables()
+    assert np.allclose(t2["vert_rad"], np.radians(new_angles))
+    # ring ranks persist (uniform shift keeps ordering)
+    assert np.array_equal(t1["ring"], t2["ring"])
+    import pytest
+    with pytest.raises(ValueError, match="vertical angles"):
+        cfg.with_status_vertical_angles(new_angles[:8])

@@ -314,9 +314,12 @@ def test_windowed_dispatch_matches_single_scan(dataset):
     """process_window (N scans per compiled dispatch) must be semantically
     identical to N process_scan calls — the window program's body IS the
     per-scan step, so trajectories should agree to float tolerance."""
-    lio_single, _ = run_pipeline(dataset)
+    # quantized uploads are a separate, documented approximation (tested in
+    # test_quantized_upload_drift_bounded); exact equivalence is about the
+    # window mechanics
+    lio_single, _ = run_pipeline(dataset, quantized_upload=False)
 
-    p = tiny_params(loop_closure_enabled=False)
+    p = tiny_params(loop_closure_enabled=False, quantized_upload=False)
     lio_win = LioSam(p, window=4)
     for i in range(0, len(dataset), 4):
         batch = [
@@ -334,6 +337,28 @@ def test_windowed_dispatch_matches_single_scan(dataset):
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=1e-4)
     assert int(lio_single.state.kf.count) == int(lio_win.state.kf.count)
+
+
+def test_quantized_upload_drift_bounded(dataset):
+    """int16-quantized window uploads (xyz at 3.9 mm steps) must track the
+    f32 pipeline: trajectory difference well below the sensor-noise floor's
+    effect on the estimate."""
+    def run_windowed(quant):
+        lio = LioSam(tiny_params(loop_closure_enabled=False,
+                                 quantized_upload=quant), window=4)
+        for i in range(0, len(dataset), 4):
+            lio.process_window([
+                dict(xyz=s["xyz"], ring=s["ring"], time_rel=s["time_rel"],
+                     scan_start=s["scan_start"], imu_t=s["imu_t"],
+                     imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
+                     imu_rpy=s["imu_rpy"])
+                for s in dataset[i:i + 4]
+            ])
+        return lio.trajectory.as_matrices()[:, :3, 3]
+
+    a = run_windowed(False)
+    b = run_windowed(True)
+    assert np.abs(a - b).max() < 0.05, np.abs(a - b).max()
 
 
 def test_windowed_partial_window_pads(dataset):

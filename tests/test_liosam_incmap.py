@@ -1,0 +1,106 @@
+"""Incremental local-map maintenance (LioParams.map_update="incremental"):
+delta insert/evict of per-keyframe voxel moments must track the trajectory
+as well as the full per-keyframe rebuild, across eviction cycles and loop
+closures.  The maintained tables themselves are oracle-tested in
+tests/test_voxelmap_inc.py; these are the pipeline-level contracts."""
+
+import numpy as np
+import pytest
+
+from msst_tpu.models.liosam import LioSam
+from msst_tpu.models.liosam.params import tiny_params
+from msst_tpu.utils import sim
+
+
+def _run(data, window=1, **over):
+    lio = LioSam(tiny_params(loop_closure_enabled=False, **over),
+                 window=window)
+    if window == 1:
+        for s in data:
+            lio.process_scan(s["xyz"], s["ring"], s["time_rel"],
+                             s["scan_start"], imu_t=s["imu_t"],
+                             imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
+                             imu_rpy=s["imu_rpy"])
+    else:
+        for i in range(0, len(data), window):
+            lio.process_window([
+                dict(xyz=s["xyz"], ring=s["ring"], time_rel=s["time_rel"],
+                     scan_start=s["scan_start"], imu_t=s["imu_t"],
+                     imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
+                     imu_rpy=s["imu_rpy"])
+                for s in data[i:i + window]
+            ])
+    lio.flush()
+    return lio
+
+
+def _errs(lio, data):
+    gt0 = data[0]["gt_pose"][:3, 3]
+    gt = np.stack([s["gt_pose"][:3, 3] - gt0 for s in data])
+    est = lio.trajectory.as_matrices()[:, :3, 3]
+    n = min(len(est), len(gt))
+    return np.linalg.norm(est[:n] - gt[:n], axis=1)
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    world = sim.World()
+    traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.0)
+    return sim.make_dataset(world, traj, n_scans=30, scan_dt=0.1,
+                            n_scan=16, horizon=360, seed=5)
+
+
+def test_incremental_tracks_like_rebuild(dataset):
+    inc = _run(dataset, map_update="incremental")
+    reb = _run(dataset, map_update="rebuild")
+    e_inc, e_reb = _errs(inc, dataset), _errs(reb, dataset)
+    # both accurate; incremental within 2x of rebuild and absolutely bounded
+    assert e_inc.max() < max(2.0 * e_reb.max(), 0.15), (
+        e_inc.max(), e_reb.max())
+    # the incremental map actually took the delta path (keyframes baked)
+    assert bool(inc.state.kf.baked[:int(inc.state.kf.count)].all())
+
+
+def test_incremental_with_eviction_keeps_mapping():
+    world = sim.World()
+    traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.5)
+    data = sim.make_dataset(world, traj, n_scans=100, scan_dt=0.1,
+                            n_scan=16, horizon=360, seed=9)
+    lio = _run(data, window=8, map_update="incremental", max_keyframes=6)
+    assert int(lio.state.kf.count) == 6
+    err = _errs(lio, data)
+    assert err.max() < 0.5, err.max()
+    # moments stay consistent with the surviving keyframes: counts are
+    # positive and bounded by total stored points
+    cnt = np.asarray(lio.state.local_map.surf_mom.cnt)
+    key = np.asarray(lio.state.local_map.surf_mom.key)
+    alive = key < 2**30
+    assert (cnt[alive] >= 0.5).all()
+    total_pts = int(np.asarray(lio.state.kf.surf_mask).sum())
+    assert cnt[alive].sum() <= total_pts + 1e-3
+
+
+def test_incremental_loop_closure_rebakes():
+    world = sim.World()
+    traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.0)
+    # ~32 s per lap at 2 m/s: 340 scans covers a revisit after the 30 s
+    # loop-age gate opens
+    data = sim.make_dataset(world, traj, n_scans=340, scan_dt=0.1,
+                            n_scan=16, horizon=360, seed=13)
+    p = dict(map_update="incremental", max_keyframes=128,
+             history_keyframe_search_radius=3.0,
+             history_keyframe_fitness_score=0.5)
+    lio = LioSam(tiny_params(**p), window=8)
+    for i in range(0, len(data), 8):
+        lio.process_window([
+            dict(xyz=s["xyz"], ring=s["ring"], time_rel=s["time_rel"],
+                 scan_start=s["scan_start"], imu_t=s["imu_t"],
+                 imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
+                 imu_rpy=s["imu_rpy"])
+            for s in data[i:i + 8]
+        ])
+    lio.flush()
+    assert int(lio.state.n_loop) >= 1
+    err = _errs(lio, data)
+    assert err.max() < 0.6, err.max()
+    assert np.isfinite(err).all()

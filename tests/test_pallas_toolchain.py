@@ -1,0 +1,54 @@
+"""Toolchain watch for the parked Pallas kernels (round-2 VERDICT #10).
+
+DESIGN.md records why the VMEM-resident lookup kernels stay off: on the
+current toolchain, Mosaic's ``tpu.dynamic_gather`` is a single-vreg lane
+shuffle ("Not implemented: Multiple source vregs along gather dimension"),
+so a >128-lane table gather is inexpressible.  This test re-ATTEMPTS the
+real Mosaic lowering on every toolchain bump so that conclusion cannot go
+stale: it is skipped on CPU (the suite's backend), and on a real TPU it
+either reproduces the known limitation or FAILS LOUDLY the day Mosaic
+grows multi-vreg gathers — the signal to re-benchmark ``use_pallas``.
+
+Run on hardware via:  python scripts/pallas_watch.py
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _attempt_lowering():
+    """(ok, error_message): try to compile + run the voxel lookup kernel
+    with Mosaic (interpret=False) on tiny-but-multi-vreg table shapes."""
+    from msst_tpu.ops import voxelmap
+    from msst_tpu.ops.voxelmap_pallas import lookup_pallas, prepare_tables
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-10, 10, size=(2048, 3)).astype(np.float32)
+    vmap = voxelmap.build(jnp.asarray(pts), jnp.ones(2048, bool), 1.0,
+                          1024, "plane", table_size=2048,
+                          origin=jnp.zeros(3, jnp.float32))
+    tables = prepare_tables(vmap)
+    q = jnp.asarray(rng.uniform(-10, 10, size=(512, 3)).astype(np.float32))
+    try:
+        out = lookup_pallas(tables, q, jnp.ones(512, bool), interpret=False)
+        jax.block_until_ready(out.idx)
+        return True, ""
+    except Exception as e:  # noqa: BLE001 — record whatever Mosaic raises
+        return False, str(e)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Mosaic lowering requires a real TPU backend "
+                           "(run scripts/pallas_watch.py on hardware)")
+def test_mosaic_lowering_status():
+    ok, err = _attempt_lowering()
+    if ok:
+        pytest.fail(
+            "Mosaic now compiles the voxel-lookup kernel! The 'multi-vreg "
+            "gather inexpressible' conclusion (DESIGN.md, Pallas status) is "
+            "stale — re-benchmark LioParams.use_pallas='auto' and update "
+            "the default.")
+    # the known limitation — anything else is a new failure mode worth a look
+    assert ("gather" in err.lower() or "Not implemented" in err), err
