@@ -35,14 +35,22 @@ BASELINE_SCANS_PER_SEC = 6.67
 ERR_GATE_M = float(os.environ.get("MSST_BENCH_ERR_GATE", "0.10"))
 
 
-def _feed(lio, batch):
-    return lio.process_window([
+def _dicts(batch):
+    return [
         dict(xyz=s["xyz"], ring=s["ring"], time_rel=s["time_rel"],
              scan_start=s["scan_start"], imu_t=s["imu_t"],
              imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
              imu_rpy=s["imu_rpy"])
         for s in batch
-    ])
+    ]
+
+
+def _feed(lio, batch):
+    return lio.process_window(_dicts(batch))
+
+
+def data_window(data, i, window):
+    return _dicts(data[i:i + window])
 
 
 def _traj_err(lio, data):
@@ -84,14 +92,17 @@ def main():
         outs = _feed(lio, data[i:i + window])
     jax.block_until_ready(outs.pose6)
 
-    iters = []
+    # async feed: each window packs on the main thread while the previous
+    # window's dispatch (fixed ~25-35 ms tunnel cost) runs on the worker
+    futs = []
     t0 = time.perf_counter()
     for i in range(n_warm, n_warm + n_bench, window):
-        outs = _feed(lio, data[i:i + window])
-        iters.append(outs.s2m_iterations)
+        futs.append(lio.process_window_async(data_window(data, i, window)))
+    outs = futs[-1].result()
     jax.block_until_ready(outs.pose6)
     wall = time.perf_counter() - t0
     lio.flush()
+    iters = [f.result().s2m_iterations for f in futs]
     iters = [int(i) for i in np.concatenate([np.asarray(x) for x in iters])]
     scans_per_sec = n_bench / wall
     err = _traj_err(lio, data)
@@ -104,9 +115,14 @@ def main():
     lio2 = LioSam(params(loop=True), window=window)
     outs2 = _feed(lio2, data2[:window])           # warm (programs cached)
     jax.block_until_ready(outs2.pose6)
+    # warm the LOOP program too — its first dispatch would otherwise
+    # compile inside the timed region (measured: 6.9 scans/s with the
+    # compile in-timing vs the real steady state)
+    lio2._try_loop_closure()
+    lio2.flush()
     t0 = time.perf_counter()
     for i in range(window, n_loop_scans, window):
-        _feed(lio2, data2[i:i + window])
+        lio2.process_window_async(data_window(data2, i, window))
     lio2.flush()
     wall2 = time.perf_counter() - t0
     loops = int(lio2.state.n_loop)

@@ -136,6 +136,8 @@ class LioSam:
         self._readback_interval = max(1, readback_interval)
         self._pending: list = []  # (time, device pose_matrix)
         self._pending_loops: list = []  # device `found` flags, read lazily
+        self._executor = None          # lazy worker for process_window_async
+        self._dispatch_future = None
 
     # -- input assembly -----------------------------------------------------
 
@@ -250,6 +252,7 @@ class LioSam:
     def process_scan(self, xyz, ring, time_rel, scan_start, **sensors):
         """Feed one scan (+ optional imu_t/imu_gyro/imu_acc/imu_rpy/gps_xyz/
         gps_sigma keyword arrays); returns the StepOutput."""
+        self._join_dispatch()  # never race an in-flight async window
         points, aux = self._make_input(xyz, ring, time_rel, scan_start, **sensors)
         new_state, out = odometry_step_packed(self.state, points, aux, self.p)
         self.state = new_state
@@ -284,6 +287,48 @@ class LioSam:
         A partial window is padded with invalid slots that pass the state
         through, reusing the same compiled program.  Returns the stacked
         StepOutput (leading axis = window slot; padded slots echo state)."""
+        self._join_dispatch()  # never race an in-flight async window
+        flat_w, times, prev_count = self._pack_window(scans)
+        outs = self._dispatch_window(flat_w, times, prev_count)
+
+        if self._boot_scans is not None:
+            self._boot_scans.extend(scans)
+            if self._scan_count >= self._boot_n:
+                res = self._bootstrap_refeed()
+                return res if res is not None else outs
+        return outs
+
+    def process_window_async(self, scans):
+        """Pipelined :meth:`process_window`: the window is packed HERE (the
+        caller's thread) and dispatched on a single worker thread, so the
+        next window's host-side packing overlaps the in-flight dispatch's
+        fixed ~25-35 ms tunnel cost.  Returns a
+        ``concurrent.futures.Future[StepOutput]``; results resolve in feed
+        order (one dispatch in flight — the estimator state is a chain).
+        ``flush()`` / ``trajectory`` join automatically.  During the
+        dynamic-init boot window this falls back to the synchronous path
+        (the bootstrap needs a readback)."""
+        import concurrent.futures as cf
+
+        if self._boot_scans is not None:
+            fut = cf.Future()
+            fut.set_result(self.process_window(scans))
+            return fut
+        if self._executor is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._executor = ThreadPoolExecutor(max_workers=1)
+        flat_w, times, prev_count = self._pack_window(scans)
+        fut = self._executor.submit(self._dispatch_window, flat_w, times,
+                                    prev_count)
+        self._dispatch_future = fut
+        return fut
+
+    def _join_dispatch(self):
+        if self._dispatch_future is not None:
+            f, self._dispatch_future = self._dispatch_future, None
+            f.result()
+
+    def _pack_window(self, scans):
         W = self.window
         if not 1 <= len(scans) <= W:
             raise ValueError(f"expected 1..{W} scans, got {len(scans)}")
@@ -320,18 +365,16 @@ class LioSam:
             self._last_scan_time = float(s["scan_start"])
             self._scan_count += 1
             times.append(float(s["scan_start"]))
+        return flat_w, times, prev_count
+
+    def _dispatch_window(self, flat_w, times, prev_count):
+        quant = self.p.quantized_upload
         window_fn = odometry_window_flat_q16 if quant else odometry_window_flat
         new_state, outs = window_fn(self.state, jnp.asarray(flat_w), self.p)
         self.state = new_state
         self._pending.append((times, outs.pose_matrix))
 
-        if self._boot_scans is not None:
-            self._boot_scans.extend(scans)
-            if self._scan_count >= self._boot_n:
-                res = self._bootstrap_refeed()
-                return res if res is not None else outs
-
-        if len(self._pending) * W >= self._readback_interval:
+        if len(self._pending) * self.window >= self._readback_interval:
             self._flush_pending()
         if (self.loop_enabled
                 and self._scan_count // self._loop_every
@@ -447,6 +490,7 @@ class LioSam:
     @property
     def trajectory(self) -> Trajectory:
         """Host trajectory (drains any pending device results first)."""
+        self._join_dispatch()
         self._flush_pending()
         return self._trajectory
 
@@ -477,9 +521,11 @@ class LioSam:
 
     def flush(self):
         """Drain pending device results into the host trajectory."""
+        self._join_dispatch()
         self._flush_pending()
 
     def save_map(self, directory: Optional[str] = None, resolution: float = 0.0):
+        self._join_dispatch()
         self._flush_pending()
         """Terminal map export (the ``save_map`` service,
         ``mapOptmization.cpp:355-419``): returns dict of numpy arrays and, if
@@ -524,6 +570,7 @@ class LioSam:
         """Compose the latest optimized pose with the IMU increments since the
         last scan — the smooth high-rate `odometry/imu` output.  Host-side
         numpy (tiny state), like the reference's 500 Hz path."""
+        self._join_dispatch()  # read a settled filter state
         from ...ops import imu as imu_ops
 
         fs = self.state.filter

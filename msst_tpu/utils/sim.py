@@ -77,7 +77,7 @@ def raycast_scan(world: World, pose: np.ndarray, n_scan=16, horizon=360,
         [np.cos(E) * np.cos(A), np.cos(E) * np.sin(A), np.sin(E)], axis=-1
     ).reshape(-1, 3)
     if traj is not None:
-        frac_col = (az + np.pi) / (2 * np.pi)
+        frac_col = (np.pi - az) / (2 * np.pi)
         Rs_col = np.empty((horizon, 3, 3))
         t_col = np.empty((horizon, 3))
         for j in range(horizon):
@@ -105,8 +105,13 @@ def raycast_scan(world: World, pose: np.ndarray, n_scan=16, horizon=360,
     rng_hit = rng_hit + rng.normal(scale=noise, size=rng_hit.shape)
     xyz = (d_sensor * rng_hit[:, None]).astype(np.float32)
     ring = np.repeat(np.arange(n_scan, dtype=np.int32), horizon)
-    # per-point time: column angle -> fraction of revolution
-    frac = (A.reshape(-1) + np.pi) / (2 * np.pi)
+    # per-point time: column angle -> fraction of revolution.  CLOCKWISE
+    # spin (azimuth decreases over the sweep), matching real Velodynes and
+    # the KITTI reader's azimuth-time reconstruction
+    # (io_kitti.KittiRawDrive.scan) — a counter-clockwise sim made that
+    # reader REVERSE per-point times on synthetic KITTI drives, turning
+    # deskew into a skew doubler (round-3 KITTI report regression).
+    frac = (np.pi - A.reshape(-1)) / (2 * np.pi)
     time_rel = (frac * spin_period).astype(np.float32)
     return xyz, ring, time_rel
 

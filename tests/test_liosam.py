@@ -339,6 +339,33 @@ def test_windowed_dispatch_matches_single_scan(dataset):
     assert int(lio_single.state.kf.count) == int(lio_win.state.kf.count)
 
 
+def test_async_window_dispatch_matches_sync(dataset):
+    """process_window_async (pack on the caller thread, dispatch on a
+    worker so packing overlaps the in-flight dispatch) must be bit-identical
+    to the synchronous path — one dispatch in flight, state chained."""
+    def dicts(b):
+        return [dict(xyz=s["xyz"], ring=s["ring"], time_rel=s["time_rel"],
+                     scan_start=s["scan_start"], imu_t=s["imu_t"],
+                     imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
+                     imu_rpy=s["imu_rpy"]) for s in b]
+
+    def run(use_async):
+        lio = LioSam(tiny_params(loop_closure_enabled=False), window=4)
+        futs = []
+        for i in range(0, len(dataset), 4):
+            if use_async:
+                futs.append(lio.process_window_async(dicts(dataset[i:i + 4])))
+            else:
+                lio.process_window(dicts(dataset[i:i + 4]))
+        lio.flush()
+        if futs:  # every future resolves to a real StepOutput
+            assert all(f.result().pose6.shape[0] == 4 for f in futs)
+        return lio.trajectory.as_matrices()
+
+    a, b = run(False), run(True)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_quantized_upload_drift_bounded(dataset):
     """int16-quantized window uploads (xyz at 3.9 mm steps) must track the
     f32 pipeline: trajectory difference well below the sensor-noise floor's
