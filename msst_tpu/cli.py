@@ -99,10 +99,11 @@ def cmd_lio_kitti(args):
     if args.tiny:
         from msst_tpu.models.liosam.params import tiny_params
         p = tiny_params(n_scan=args.rings, loop_closure_enabled=args.loop,
-                        max_points=32768)
+                        max_points=args.max_points or 32768)
     else:
         p = LioParams(n_scan=args.rings, horizon_scan=args.horizon,
-                      max_points=150000, loop_closure_enabled=args.loop)
+                      max_points=args.max_points or 150000,
+                      loop_closure_enabled=args.loop)
     lio = _lio_run(it, params=p, loop=args.loop,
                    viz_every=args.viz_every, viz_dir=args.viz_dir)
     traj = lio.trajectory.as_matrices()
@@ -345,6 +346,9 @@ def main(argv=None):
     s.add_argument("--tiny", action="store_true",
                    help="small-capacity params (CPU-friendly)")
     s.add_argument("--output", default="trajectory_kitti.txt")
+    s.add_argument("--max-points", type=int, default=0,
+                   help="input cloud capacity override (0 = profile default;"
+                   " full-capacity runs on small scans waste padding)")
     s.add_argument("--viz-every", type=int, default=0,
                    help="write global_map.ply + trajectory.png every N scans")
     s.add_argument("--viz-dir", default="viz_live")

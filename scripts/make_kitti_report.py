@@ -145,9 +145,14 @@ def main():
                                 args.horizon)
         traj_file = os.path.join(args.workdir, f"traj_{name}.txt")
         t0 = time.time()
+        # full-capacity params (round 3: the tiny profile's small caps and
+        # looser gates diverge on the rotation-rich figure-8 at 5 m/s —
+        # 9.9 m ATE vs 0.26 with full params); max_points sized to the scan
         r = subprocess.run(
             [sys.executable, "-m", "msst_tpu.cli", "lio-kitti", drive,
-             "--rings", "16", "--tiny", "--output", traj_file],
+             "--rings", "16", "--horizon", str(args.horizon),
+             "--max-points", str(16 * args.horizon + 64),
+             "--output", traj_file],
             capture_output=True, text=True, cwd=REPO)
         wall = time.time() - t0
         if r.returncode != 0:
