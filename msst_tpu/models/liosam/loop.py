@@ -56,9 +56,15 @@ def _submap(state: LioState, center: Array, half_width: Array, p: LioParams,
         Cloud.create(xyz, mask=mask), p.loop_leaf_size, capacity=cap)
 
 
-@partial(jax.jit, static_argnames=("p",))
+@partial(jax.jit, static_argnames=("p",), donate_argnums=(0,))
 def loop_closure_step(state: LioState, p: LioParams):
-    """Detect + close one loop; returns (new_state, LoopResult)."""
+    """Detect + close one loop; returns (new_state, LoopResult).
+
+    The state is donated like the odometry step's: without donation every
+    attempt reallocates + copies the ~100 MB keyframe store (and pays the
+    tunneled runtime's per-buffer bookkeeping), which round 3 measured as
+    the bulk of the loop-ON throughput drop even when no candidate exists.
+    Callers must rebind (``state, res = loop_closure_step(state, p)``)."""
     kf = state.kf
     K = kf.pose6.shape[0]
     cur = jnp.maximum(kf.count - 1, 0)

@@ -433,36 +433,49 @@ class LioSam:
         self._pending_loops.append(loop.found)
 
     def _flush_pending(self):
-        """Batch-fetch accumulated poses (one D2H per batch) + divergence
+        """Batch-fetch accumulated poses + loop flags in ONE D2H + divergence
         check (the respawn="true" equivalent, checked at readback
         granularity).  Entries are (time, (4,4)) from process_scan or
-        ([times], (W,4,4)) from process_window; consecutive singles are
-        stacked into one transfer."""
-        if not self._pending:
+        ([times], (W,4,4)) from process_window.  Every D2H through the
+        tunneled runtime pays ~27-40 ms of latency/bookkeeping on top of the
+        pipeline sync, so the per-window transfers of the old code (4 per
+        flush at the default interval = 120-160 ms) are first concatenated
+        device-side and fetched as one array; pending loop flags ride in the
+        same ``device_get``."""
+        if not self._pending and not self._pending_loops:
             return
-        times: list = []
-        mat_chunks: list = []
-        run_t: list = []
-        run_m: list = []
-
-        def drain_run():
-            if run_m:
-                times.extend(run_t)
-                mat_chunks.append(np.asarray(jnp.stack(run_m)))
-                run_t.clear()
-                run_m.clear()
-
+        devs: list = []
+        meta: list = []  # (times_list, device rows)
         for t, m in self._pending:
             if isinstance(t, (list, tuple)):
-                drain_run()
-                times.extend(t)
-                mat_chunks.append(np.asarray(m)[: len(t)])
+                devs.append(m)          # (W, 4, 4) — padded rows trimmed on host
+                meta.append((list(t), m.shape[0]))
             else:
-                run_t.append(t)
-                run_m.append(m)
-        drain_run()
-        mats = np.concatenate(mat_chunks, axis=0)
-        self._pending.clear()
+                devs.append(m[None])    # process_scan path (non-windowed)
+                meta.append(([t], 1))
+        self._pending = []
+        loops, self._pending_loops = self._pending_loops, []
+        founds_dev = jnp.stack(loops) if loops else None
+        mats_dev = None
+        if devs:
+            mats_dev = devs[0] if len(devs) == 1 else jnp.concatenate(devs)
+        if mats_dev is not None and founds_dev is not None:
+            mats_all, founds = jax.device_get((mats_dev, founds_dev))
+        elif mats_dev is not None:
+            mats_all, founds = jax.device_get(mats_dev), np.zeros(0, bool)
+        else:
+            founds = jax.device_get(founds_dev)
+            if founds.any():
+                self._resync_trajectory()
+            return
+        times: list = []
+        rows: list = []
+        off = 0
+        for ts, n in meta:
+            times.extend(ts)
+            rows.append(mats_all[off:off + len(ts)])
+            off += n
+        mats = np.concatenate(rows, axis=0)
         if not np.isfinite(mats).all():
             import warnings
 
@@ -479,13 +492,10 @@ class LioSam:
             return
         self._trajectory.times.extend(times)
         self._trajectory.poses.extend(list(mats))
-        if self._pending_loops:
-            founds = np.asarray(jnp.stack(self._pending_loops))
-            self._pending_loops.clear()
-            if founds.any():
-                # history was rewritten by >=1 closed loop: resync the
-                # recorded tail from the optimized keyframes
-                self._resync_trajectory()
+        if founds.any():
+            # history was rewritten by >=1 closed loop: resync the
+            # recorded tail from the optimized keyframes
+            self._resync_trajectory()
 
     @property
     def trajectory(self) -> Trajectory:

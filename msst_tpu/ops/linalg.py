@@ -175,7 +175,12 @@ def weighted_kabsch(
     wsum = jnp.maximum(jnp.sum(w), 1e-9)
     mu_s = jnp.sum(src * w[:, None], axis=0) / wsum
     mu_d = jnp.sum(dst * w[:, None], axis=0) / wsum
-    H = ((src - mu_s) * w[:, None]).T @ (dst - mu_d)
+    # full f32 accumulation: the TPU's default matmul precision leaves
+    # ~bf16 noise in this (3,N)@(N,3) cross-covariance, which jitters the
+    # per-iteration ICP update above the 1e-6 transform epsilon forever
+    # (the output is 3x3 — HIGHEST costs nothing measurable)
+    H = jnp.matmul(((src - mu_s) * w[:, None]).T, dst - mu_d,
+                   precision=jax.lax.Precision.HIGHEST)
     U, S, Vt = jnp.linalg.svd(H)
     d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
     D = jnp.diag(jnp.array([1.0, 1.0, 0.0], H.dtype)) + jnp.diag(

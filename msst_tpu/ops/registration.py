@@ -374,7 +374,18 @@ def icp_point2point(
 ) -> IcpResult:
     """SVD-based rigid ICP (pcl::IterativeClosestPoint semantics: per-iter NN
     correspondences within ``max_corr_dist``, Umeyama/Kabsch update, stop on
-    transform epsilon; fitness = mean squared NN distance)."""
+    transform epsilon; fitness = mean squared NN distance).
+
+    ``converged`` follows PCL's ``hasConverged()``: reaching the iteration
+    cap is a VALID stop (DefaultConvergenceCriteria reports
+    CONVERGENCE_CRITERIA_ITERATIONS as converged), so the flag only demands
+    that correspondences existed — the caller's gate is the fitness score,
+    exactly like ``performLoopClosure``'s
+    ``icp.hasConverged() == false || icp.getFitnessScore() > ...``
+    (mapOptmization.cpp:575-580).  Round 3 found the stricter it<max_iters
+    flag silently vetoed every hardware loop closure: the TPU's default
+    matmul precision leaves ~bf16 jitter in the Kabsch update, so the 1e-6
+    transform epsilon never fired even at fitness 0.099."""
 
     def body(state):
         pose, _, it, _ = state
@@ -412,7 +423,7 @@ def icp_point2point(
     nm = jnp.maximum(jnp.sum(ok), 1)
     fitness = jnp.sum(jnp.where(ok, res.sqdist[:, 0], 0.0)) / nm
     frac = nm / jnp.maximum(jnp.sum(src_mask), 1)
-    return IcpResult(pose, fitness, frac, it < max_iters)
+    return IcpResult(pose, fitness, frac, jnp.sum(ok) > 0)
 
 
 # ---------------------------------------------------------------------------
