@@ -325,7 +325,29 @@ def cmd_track(args):
             srv.stop()
 
 
+def _apply_platform_env():
+    """Honor JAX_PLATFORMS / MSST_PLATFORM for CLI subprocesses.
+
+    Site hooks that register an accelerator backend at interpreter startup
+    may override the JAX_PLATFORMS env var inside jax itself, so a caller's
+    ``JAX_PLATFORMS=cpu`` silently lands on the accelerator (and, on
+    single-tenant TPU runtimes, collides with any concurrently running
+    process).  Re-apply the caller's intent through jax.config, which wins
+    over the hook."""
+    import os
+
+    plat = os.environ.get("MSST_PLATFORM") or os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backend already initialized; leave it
+
+
 def main(argv=None):
+    _apply_platform_env()
     ap = argparse.ArgumentParser(prog="msst", description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
     sub = ap.add_subparsers(dest="cmd", required=True)

@@ -629,9 +629,24 @@ def _insert_keyframe(state: LioState, pose6: Array, scan_time: Array,
         add_gps, lambda a: a, (graph, state.n_gps)
     )
 
-    # windowed optimization (iSAM2-update stand-in)
+    # windowed optimization (iSAM2-update stand-in).  With only the anchor
+    # prior + odometry betweens the problem is already at its optimum by
+    # construction (every factor's measurement is built from the exact poses
+    # it constrains, and eviction's marginal priors are created consistent
+    # and attach outside the free window), so the solve is a numerical
+    # no-op (g = 0 -> dx = 0) — ~2.8 ms/keyframe on v5e for nothing.
+    # graph_lazy_solve skips it until a factor that can move the solution
+    # exists (GPS or loop); the reference updates iSAM2 every keyframe
+    # unconditionally (saveKeyFramesAndFactor :1497-1581).
     free = graph.pose_mask & (jnp.arange(K) >= kf.count - p.graph_window)
-    graph = _graph_optimize(graph, p, free_mask=free, iters=2)
+    if p.graph_lazy_solve:
+        need_solve = (jnp.sum(graph.gps.mask) > 0) | (state.n_loop > 0)
+        graph = jax.lax.cond(
+            need_solve,
+            lambda g: _graph_optimize(g, p, free_mask=free, iters=2),
+            lambda g: g, graph)
+    else:
+        graph = _graph_optimize(graph, p, free_mask=free, iters=2)
 
     # correctPoses: keyframe poses follow the graph
     opt6 = se3.Pose(graph.poses.q, graph.poses.t).to_vec6()
@@ -760,6 +775,8 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
                 use_pallas=use_pallas,
                 plateau_rtol=p.plateau_rtol,
                 plateau_min_iters=p.plateau_min_iters,
+                reassoc_rot=p.s2m_reassoc_rot,
+                reassoc_trans=p.s2m_reassoc_trans,
             )
         else:
             res = registration.scan_to_map(

@@ -81,6 +81,22 @@ class LioParams:
     # gates alone, mapOptmization.cpp:1292-1310)
     plateau_rtol: float = 1e-3
     plateau_min_iters: int = 2
+    # correspondence re-association policy for the voxel GN.  The reference
+    # re-searches correspondences at EVERY iteration
+    # (mapOptmization.cpp:1292-1310, scan2MapOptimization); with a voxel map
+    # the association of a point only changes when the pose moves it across
+    # a cell boundary, so later iterations (mm-scale updates) can reuse the
+    # previous lookup — the lookup is ~2.1 of the ~2.1 ms GN iteration on
+    # v5e, so frozen iterations are ~7x cheaper.  A new lookup happens when
+    # the pose has moved more than these thresholds (rad / m) since the last
+    # one; 0.0/0.0 restores the reference-faithful per-iteration search.
+    s2m_reassoc_rot: float = 0.01    # ~0.57 deg
+    s2m_reassoc_trans: float = 0.02  # m
+    # skip the per-keyframe windowed graph solve while the graph holds only
+    # the anchor prior + odometry betweens (then it is at its optimum by
+    # construction; see _insert_keyframe).  False = solve every keyframe
+    # like the reference's iSAM2 update (saveKeyFramesAndFactor :1497-1581).
+    graph_lazy_solve: bool = True
     vox_source: str = "downsampled"  # voxel-fit input: "downsampled" (reference-style centroid pass first, lower drift) | "direct" (raw keyframe features, cheaper rebuild)
     # local-map maintenance (voxel method only):
     # "incremental": persistent per-voxel moment tables, delta insert/evict

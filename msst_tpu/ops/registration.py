@@ -249,13 +249,25 @@ def scan_to_map_voxel(
     use_pallas: bool = False,
     plateau_rtol: float = 1e-3,
     plateau_min_iters: int = 2,
+    reassoc_rot: float = 0.0,
+    reassoc_trans: float = 0.0,
 ) -> ScanToMapResult:
     """Same contract as :func:`scan_to_map`, but correspondences come from
     precomputed per-voxel line/plane features (one structured lookup per
     iteration instead of 5-NN gathers) — the TPU-native hot path.  Residual
     definitions, s-weighting, degeneracy projection and convergence gates
     match the kNN variant.  use_pallas routes the lookup through the
-    VMEM-resident Pallas kernel (voxelmap_pallas)."""
+    VMEM-resident Pallas kernel (voxelmap_pallas).
+
+    reassoc_rot/reassoc_trans > 0 enable frozen-correspondence iterations:
+    the voxel lookup (the dominant per-iteration cost on TPU) only re-runs
+    when the pose has moved more than the thresholds (max-abs rad / m) since
+    the last lookup; in between, iterations reuse the matched voxels' stats
+    and recompute residuals under the updated pose.  A point's association
+    only changes when the update moves it across a cell boundary, so
+    sub-threshold updates see identical correspondences almost surely.
+    0.0/0.0 = re-associate every iteration (the reference's semantics,
+    ``mapOptmization.cpp:1292-1310``)."""
     from . import voxelmap
 
     if use_pallas:
@@ -271,20 +283,35 @@ def scan_to_map_voxel(
         def _lookup(which, vm, q, m):
             return voxelmap.lookup(vm, q, m)
 
-    def step(pose, P, degenerate, it):
+    freeze = reassoc_rot > 0.0 or reassoc_trans > 0.0
+
+    def step(pose, P, degenerate, it, assoc, pose_ref):
         R, dRr, dRp, dRy = _rot_and_derivs(pose[:3])
         t = pose[3:]
         cw = corner_scan @ R.T + t
         sw = surf_scan @ R.T + t
 
-        chit = _lookup("c", corner_vmap, cw, corner_mask)
+        if freeze:
+            need = ((it == 0)
+                    | (jnp.max(jnp.abs(pose[:3] - pose_ref[:3])) > reassoc_rot)
+                    | (jnp.max(jnp.abs(pose[3:] - pose_ref[3:]))
+                       > reassoc_trans))
+            chit, shit, pose_ref = jax.lax.cond(
+                need,
+                lambda: (_lookup("c", corner_vmap, cw, corner_mask),
+                         _lookup("s", surf_vmap, sw, surf_mask), pose),
+                lambda: (assoc[0], assoc[1], pose_ref),
+            )
+        else:
+            chit = _lookup("c", corner_vmap, cw, corner_mask)
+            shit = _lookup("s", surf_vmap, sw, surf_mask)
+        assoc = (chit, shit)
         cgrad, cr, cok = voxelmap.line_residuals(corner_vmap, cw, chit)
         cs = 1.0 - 0.9 * jnp.abs(cr)
         cm = corner_mask & cok & (cs > 0.1)
         cn = cgrad * cs[:, None]
         cd = cs * cr
 
-        shit = _lookup("s", surf_vmap, sw, surf_mask)
         snrm, sr, sok = voxelmap.plane_residuals(surf_vmap, sw, shit)
         rng = jnp.linalg.norm(surf_scan, axis=1)
         ss = 1.0 - 0.9 * jnp.abs(sr) / jnp.sqrt(jnp.sqrt(jnp.maximum(rng, 1e-6)))
@@ -325,27 +352,40 @@ def scan_to_map_voxel(
         delta_t = jnp.sqrt(jnp.sum((dx[3:] * 100.0) ** 2))
         converged = (delta_r < 0.05) & (delta_t < 0.05)
         return (pose + dx, P, degenerate, converged | ~enough, cost,
-                jnp.sum(cm), jnp.sum(sm))
+                jnp.sum(cm), jnp.sum(sm), assoc, pose_ref)
 
     def cond(state):
-        _, _, _, done, it, _, _, _ = state
+        _, _, _, done, it, _, _, _, _, _ = state
         return (~done) & (it < max_iters)
 
     def body(state):
-        pose, P, degenerate, done, it, prev_cost, nc, ns = state
-        pose, P, degenerate, conv, cost, nc, ns = step(pose, P, degenerate, it)
+        pose, P, degenerate, done, it, prev_cost, nc, ns, assoc, pref = state
+        (pose, P, degenerate, conv, cost, nc, ns, assoc,
+         pref) = step(pose, P, degenerate, it, assoc, pref)
         # voxel correspondences flip-flop below the mm scale: also stop when
         # the mean squared residual stops improving (plateau detection; the
         # reference's exact-NN geometry converges without this)
         plateau = (it >= plateau_min_iters) & (
             prev_cost - cost < plateau_rtol * cost)
-        return pose, P, degenerate, conv | plateau, it + 1, cost, nc, ns
+        return pose, P, degenerate, conv | plateau, it + 1, cost, nc, ns, \
+            assoc, pref
+
+    def _empty_hit(n):
+        return voxelmap.VoxelLookup(
+            idx=jnp.zeros((n,), jnp.int32),
+            found=jnp.zeros((n,), bool),
+            mean=jnp.zeros((n, 3), init_pose.dtype),
+            direction=jnp.zeros((n, 3), init_pose.dtype),
+            d=jnp.zeros((n,), init_pose.dtype),
+        )
 
     P0 = jnp.eye(6, dtype=init_pose.dtype)
+    assoc0 = (_empty_hit(corner_scan.shape[0]), _empty_hit(surf_scan.shape[0]))
     state = (init_pose, P0, jnp.asarray(False), jnp.asarray(False),
              jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf),
-             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-    pose, P, degenerate, done, it, cost, nc, ns = jax.lax.while_loop(
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+             assoc0, init_pose)
+    pose, P, degenerate, done, it, cost, nc, ns, _, _ = jax.lax.while_loop(
         cond, body, state)
     return ScanToMapResult(pose, degenerate, done, it, nc, ns)
 

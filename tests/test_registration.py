@@ -214,6 +214,44 @@ def test_scan_to_map_voxel_recovers_pose():
     assert int(res.n_surf) > 1000
 
 
+def test_scan_to_map_voxel_frozen_reassociation_matches():
+    """Frozen-correspondence iterations (reassoc thresholds > 0) recover the
+    same pose as per-iteration re-association (the reference's semantics) —
+    associations only change when an update crosses a cell boundary, so
+    sub-threshold updates must land within mm/mdeg of the faithful path."""
+    from msst_tpu.ops import voxelmap
+
+    corner_map, surf_map = make_world()
+    gt = np.array([0.02, -0.015, 0.05, 0.3, -0.2, 0.1], np.float32)
+    R = Rs.from_euler("xyz", gt[:3]).as_matrix().astype(np.float32)
+    t = gt[3:]
+    corner_scan = (subsample(corner_map, 300, RNG) - t) @ R
+    surf_scan = (subsample(surf_map, 2000, RNG) - t) @ R
+
+    cvox = voxelmap.build(jnp.asarray(corner_map),
+                          jnp.ones(len(corner_map), bool),
+                          1.0, 2048, "line", table_size=4096)
+    svox = voxelmap.build(jnp.asarray(surf_map),
+                          jnp.ones(len(surf_map), bool),
+                          1.0, 8192, "plane", table_size=16384)
+
+    def solve(**kw):
+        return reg.scan_to_map_voxel(
+            jnp.asarray(corner_scan), jnp.ones(len(corner_scan), bool),
+            jnp.asarray(surf_scan), jnp.ones(len(surf_scan), bool),
+            cvox, svox, jnp.zeros(6, jnp.float32), **kw)
+
+    ref = solve()
+    froz = solve(reassoc_rot=0.01, reassoc_trans=0.02)
+    np.testing.assert_allclose(np.asarray(froz.pose)[:3],
+                               np.asarray(ref.pose)[:3], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(froz.pose)[3:],
+                               np.asarray(ref.pose)[3:], atol=5e-3)
+    np.testing.assert_allclose(np.asarray(froz.pose)[:3], gt[:3], atol=6e-3)
+    np.testing.assert_allclose(np.asarray(froz.pose)[3:], gt[3:], atol=3e-2)
+    assert int(froz.iterations) <= int(ref.iterations) + 1
+
+
 def test_scan_to_map_voxel_degenerate_single_plane():
     from msst_tpu.ops import voxelmap
 
