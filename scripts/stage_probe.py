@@ -1,0 +1,253 @@
+"""Per-stage device-time probe for the odometry step (bench shapes).
+
+Methodology (CLAUDE.md): dispatch-loop microbenchmarks lie on axon, so each
+stage is chained K times inside ONE jit via a data-dependent
+``lax.fori_loop`` (dynamic trip count -> one compile per stage) and timed as
+ms = (wall_K - wall_1) / (K - 1).  Valid for single ops / small fused stages;
+NOT for the full step (its ~100 MB state carry forces copies the dispatch
+path elides by donation — docs/DESIGN.md round-3 notes).
+
+Stages probed at bench shapes (16x1800, default caps):
+  frontend   unpack + deskew + range image + feature extraction (per scan)
+  scan_ds    per-scan corner+surf voxel_downsample feeding scan-to-map
+  lookup     one corner+surf voxel-table lookup (the re-association cost)
+  s2m        full scan_to_map_voxel (frozen-correspondence GN)
+  kf_update  incremental map keyframe work: _kf_moments + 2x merge_moments
+             + _features_from_moments (per KEYFRAME, ~1 in 5 scans)
+  preint     inter-scan IMU preintegration (per scan)
+
+Run with the host otherwise IDLE (concurrent CPU load inflates axon wall
+times ~5x — memory: bench-needs-idle-host).
+
+Usage: python scripts/stage_probe.py [--reps 64] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=64)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--stages", default="",
+                    help="comma-separated subset (default: all)")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from msst_tpu.models.liosam import mapping
+    from msst_tpu.models.liosam.frontend import run_frontend
+    from msst_tpu.models.liosam.mapping import (_features_from_moments,
+                                                unpack_step_input)
+    from msst_tpu.models.liosam.params import LioParams
+    from msst_tpu.models.liosam.pipeline import LioSam
+    from msst_tpu.ops import imu as imu_ops
+    from msst_tpu.ops import registration, se3, voxel, voxelmap
+    from msst_tpu.utils import sim
+
+    n_scan, horizon = 16, 1800
+    p = LioParams(n_scan=n_scan, horizon_scan=horizon,
+                  max_points=n_scan * horizon + 64,
+                  loop_closure_enabled=False, max_keyframes=256)
+
+    world = sim.World()
+    traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.0)
+    data = sim.make_dataset(world, traj, n_scans=24, scan_dt=0.1,
+                            n_scan=n_scan, horizon=horizon, seed=7)
+
+    # one packed scan input (points, aux) at bench shapes
+    lio = LioSam(p, window=1)
+    s0 = data[8]
+    points_np, aux_np = lio._make_input_np(
+        s0["xyz"], s0["ring"], s0["time_rel"], s0["scan_start"],
+        imu_t=s0["imu_t"], imu_gyro=s0["imu_gyro"], imu_acc=s0["imu_acc"],
+        imu_rpy=s0["imu_rpy"])
+    points = jnp.asarray(points_np)
+    aux = jnp.asarray(aux_np)
+    inp = unpack_step_input(points, aux, p)
+
+    # frontend output -> scan-level downsampled features (host-built once)
+    front = jax.jit(lambda i: run_frontend(i.scan, p),
+                    static_argnums=())(inp)
+    corner_ds = voxel.voxel_downsample(front.corner, p.mapping_corner_leaf_size,
+                                       capacity=p.scan_corner_cap)
+    surf_ds = voxel.voxel_downsample(front.surf, p.mapping_surf_leaf_size,
+                                     capacity=p.scan_surf_cap)
+
+    # realistic local map: all 24 scans' features in world frame -> moments
+    # -> voxel feature tables (the incremental path's steady state)
+    anchor = jnp.asarray(data[8]["gt_pose"][:3, 3].astype(np.float32))
+
+    def world_feats(s):
+        pi, ai = lio._make_input_np(
+            s["xyz"], s["ring"], s["time_rel"], s["scan_start"],
+            imu_t=s["imu_t"], imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
+            imu_rpy=s["imu_rpy"])
+        ii = unpack_step_input(jnp.asarray(pi), jnp.asarray(ai), p)
+        fr = jax.jit(lambda i: run_frontend(i.scan, p))(ii)
+        c = voxel.voxel_downsample(fr.corner, p.mapping_corner_leaf_size,
+                                   capacity=p.scan_corner_cap)
+        su = voxel.voxel_downsample(fr.surf, p.mapping_surf_leaf_size,
+                                    capacity=p.scan_surf_cap)
+        T = jnp.asarray(s["gt_pose"].astype(np.float32))
+        R, t = T[:3, :3], T[:3, 3]
+        return (c.xyz @ R.T + t, c.mask, su.xyz @ R.T + t, su.mask)
+
+    feats = [world_feats(s) for s in data[::3]]
+    cxyz = jnp.concatenate([f[0] for f in feats])
+    cmask = jnp.concatenate([f[1] for f in feats])
+    sxyz = jnp.concatenate([f[2] for f in feats])
+    smask = jnp.concatenate([f[3] for f in feats])
+    corner_mom = voxelmap.points_to_moments(
+        cxyz, cmask, p.mapping_corner_leaf_size, anchor, p.map_corner_cap)
+    surf_mom = voxelmap.points_to_moments(
+        sxyz, smask, p.mapping_surf_leaf_size, anchor, p.map_surf_cap)
+    lm = _features_from_moments(corner_mom, surf_mom, anchor, p)
+    init6 = se3.Pose(
+        se3.matrix_to_quat(jnp.asarray(s0["gt_pose"][:3, :3].astype(np.float32))),
+        jnp.asarray(s0["gt_pose"][:3, 3].astype(np.float32))).to_vec6()
+
+    # keyframe-sized feature clouds for the kf_update probe
+    from msst_tpu.ops.pointcloud import compact
+    kf_c = compact(corner_ds, p.kf_corner_cap)
+    kf_s = compact(surf_ds, p.kf_surf_cap)
+
+    EPS = 1e-9
+
+    def probe_frontend(c, d):
+        pts, ax = d
+        fr = run_frontend(
+            unpack_step_input(pts + c * EPS, ax, p).scan, p)
+        return jnp.sum(fr.corner.xyz) * EPS
+
+    def probe_scan_ds(c, d):
+        cx, cm, sx, sm = d
+        from msst_tpu.ops.pointcloud import Cloud
+        cc = voxel.voxel_downsample(Cloud.create(cx + c * EPS, mask=cm),
+                                    p.mapping_corner_leaf_size,
+                                    capacity=p.scan_corner_cap)
+        ss = voxel.voxel_downsample(Cloud.create(sx + c * EPS, mask=sm),
+                                    p.mapping_surf_leaf_size,
+                                    capacity=p.scan_surf_cap)
+        return (jnp.sum(cc.xyz) + jnp.sum(ss.xyz)) * EPS
+
+    def probe_lookup(c, d):
+        cx, cm, sx, sm = d
+        hc = voxelmap.lookup(lm.corner_vox, cx + c * EPS, cm)
+        hs = voxelmap.lookup(lm.surf_vox, sx + c * EPS, sm)
+        return (jnp.sum(hc.mean) + jnp.sum(hs.mean)) * EPS
+
+    def probe_s2m(c, d):
+        cx, cm, sx, sm, i6 = d
+        res = registration.scan_to_map_voxel(
+            cx, cm, sx, sm, lm.corner_vox, lm.surf_vox, i6 + c * EPS,
+            max_iters=p.scan2map_max_iters,
+            eig_threshold=p.degeneracy_threshold,
+            plateau_rtol=p.plateau_rtol,
+            plateau_min_iters=p.plateau_min_iters,
+            reassoc_rot=p.s2m_reassoc_rot,
+            reassoc_trans=p.s2m_reassoc_trans)
+        return jnp.sum(res.pose) * EPS
+
+    def probe_kf_update(c, d):
+        kcx, kcm, ksx, ksm, cm0_k, cm0_r, cm0_c, sm0_k, sm0_r, sm0_c = d
+        cm0 = voxelmap.VoxelMoments(cm0_k, cm0_r, cm0_c)
+        sm0 = voxelmap.VoxelMoments(sm0_k, sm0_r, sm0_c)
+        cmom = voxelmap.points_to_moments(
+            kcx + c * EPS, kcm, p.mapping_corner_leaf_size, anchor,
+            p.kf_corner_cap)
+        smom = voxelmap.points_to_moments(
+            ksx + c * EPS, ksm, p.mapping_surf_leaf_size, anchor,
+            p.kf_surf_cap)
+        r = p.surrounding_keyframe_search_radius
+        cmg = voxelmap.merge_moments(
+            cm0, cmom, p.map_corner_cap, trim_center=anchor, trim_radius=r,
+            leaf=p.mapping_corner_leaf_size, origin=anchor)
+        smg = voxelmap.merge_moments(
+            sm0, smom, p.map_surf_cap, trim_center=anchor, trim_radius=r,
+            leaf=p.mapping_surf_leaf_size, origin=anchor)
+        lmap = _features_from_moments(cmg, smg, anchor, p)
+        return (jnp.sum(lmap.corner_vox.mean) + jnp.sum(lmap.surf_vox.mean)
+                ) * EPS
+
+    def probe_fitmom(c, d):
+        cm0_k, cm0_r, cm0_c, sm0_k, sm0_r, sm0_c = d
+        cm0 = voxelmap.VoxelMoments(cm0_k, cm0_r + c * EPS, cm0_c)
+        sm0 = voxelmap.VoxelMoments(sm0_k, sm0_r + c * EPS, sm0_c)
+        lmap = _features_from_moments(cm0, sm0, anchor, p)
+        return (jnp.sum(lmap.corner_vox.mean) + jnp.sum(lmap.surf_vox.mean)
+                ) * EPS
+
+    def probe_preint(c, d):
+        pt, pg, pa, pm = d
+        pre = imu_ops.preintegrate(pt, pg + c * EPS, pa, pm,
+                                   imu_ops.ImuBias.zero(), p.imu_params)
+        return jnp.sum(pre.dp) * EPS
+
+    stages = {
+        "frontend": (probe_frontend, (points, aux)),
+        "scan_ds": (probe_scan_ds,
+                    (front.corner.xyz, front.corner.mask,
+                     front.surf.xyz, front.surf.mask)),
+        "lookup": (probe_lookup,
+                   (corner_ds.xyz, corner_ds.mask, surf_ds.xyz, surf_ds.mask)),
+        "s2m": (probe_s2m,
+                (corner_ds.xyz, corner_ds.mask, surf_ds.xyz, surf_ds.mask,
+                 init6)),
+        "kf_update": (probe_kf_update,
+                      (kf_c.xyz, kf_c.mask, kf_s.xyz, kf_s.mask,
+                       corner_mom.key, corner_mom.rsum, corner_mom.cnt,
+                       surf_mom.key, surf_mom.rsum, surf_mom.cnt)),
+        "fitmom": (probe_fitmom,
+                   (corner_mom.key, corner_mom.rsum, corner_mom.cnt,
+                    surf_mom.key, surf_mom.rsum, surf_mom.cnt)),
+        "preint": (probe_preint,
+                   (inp.pre_t, inp.pre_gyro, inp.pre_acc, inp.pre_mask)),
+    }
+    subset = [s for s in args.stages.split(",") if s] or list(stages)
+
+    import functools
+    results = {}
+    for name in subset:
+        fn, dat = stages[name]
+
+        @functools.partial(jax.jit, static_argnums=())
+        def run(reps, dat=dat, fn=fn):
+            return jax.lax.fori_loop(
+                0, reps, lambda i, c: fn(c, dat), jnp.float32(0.0))
+
+        jax.block_until_ready(run(jnp.int32(1)))   # compile
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(jnp.int32(1)))
+        w1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(jnp.int32(args.reps)))
+        wk = time.perf_counter() - t0
+        results[name] = round(1000.0 * (wk - w1) / (args.reps - 1), 3)
+        print(f"  {name}: {results[name]} ms", file=sys.stderr)
+
+    print(json.dumps({
+        "stage_ms": results,
+        "reps": args.reps,
+        "backend": jax.devices()[0].platform,
+        "note": "per-scan: frontend+scan_ds+s2m+preint; per-keyframe "
+                "(~1 in 5 scans): kf_update; lookup/fitmom are components "
+                "of s2m/kf_update",
+    }))
+
+
+if __name__ == "__main__":
+    main()
