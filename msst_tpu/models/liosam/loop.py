@@ -56,6 +56,24 @@ def _submap(state: LioState, center: Array, half_width: Array, p: LioParams,
         Cloud.create(xyz, mask=mask), p.loop_leaf_size, capacity=cap)
 
 
+def _keyframe_cloud(state: LioState, idx: Array, p: LioParams) -> Cloud:
+    """Single keyframe's merged corner+surf cloud in map frame, downsampled
+    (``loopFindNearKeyframes`` with searchNum=0, :699-721).  Separate from
+    :func:`_submap` so the ICP *source* side stays at the one-keyframe
+    capacity (kf caps) instead of the 51-keyframe submap cap — the ICP
+    iteration cost scales with the padded source row count, and round 3
+    measured the oversized source as a ~2.4x multiplier on every
+    loop-closure attempt."""
+    kf = state.kf
+    pose = se3.Pose.from_vec6(kf.pose6[idx])
+    xyz = jnp.concatenate([pose.apply(kf.corner_xyz[idx]),
+                           pose.apply(kf.surf_xyz[idx])], axis=0)
+    mask = jnp.concatenate([kf.corner_mask[idx], kf.surf_mask[idx]])
+    return voxel.voxel_downsample(
+        Cloud.create(xyz, mask=mask), p.loop_leaf_size,
+        capacity=p.kf_corner_cap + p.kf_surf_cap)
+
+
 @partial(jax.jit, static_argnames=("p",), donate_argnums=(0,))
 def loop_closure_step(state: LioState, p: LioParams):
     """Detect + close one loop; returns (new_state, LoopResult).
@@ -81,7 +99,7 @@ def loop_closure_step(state: LioState, p: LioParams):
         d2[cand] < p.history_keyframe_search_radius**2)
 
     def try_close():
-        cur_cloud = _submap(state, cur, jnp.asarray(0), p, p.loop_submap_cap // 2)
+        cur_cloud = _keyframe_cloud(state, cur, p)
         hist_cloud = _submap(state, cand,
                              jnp.asarray(p.history_keyframe_search_num), p,
                              p.loop_submap_cap)
@@ -90,7 +108,10 @@ def loop_closure_step(state: LioState, p: LioParams):
         res = registration.icp_point2point(
             cur_cloud.xyz, cur_cloud.mask, grid, hist_cloud.xyz,
             se3.Pose.identity(), max_iters=100,
-            max_corr_dist=p.history_keyframe_search_radius,
+            # setMaxCorrespondenceDistance(radius*2), :560; the epsilons of
+            # :562-563 (setTransformationEpsilon / setEuclideanFitnessEpsilon)
+            max_corr_dist=p.history_keyframe_search_radius * 2.0,
+            transformation_eps=1e-6, rel_mse_eps=1e-6,
             candidates_per_cell=p.knn_candidates,
         )
         good = res.converged & (res.fitness < p.history_keyframe_fitness_score)

@@ -429,8 +429,48 @@ class LioSam:
         loops actually closing — pure sync overhead).  The flags are read
         at the next readback, where the trajectory tail is rewritten if any
         loop actually closed."""
+        if not self._loop_plausible():
+            return
         self.state, loop = loop_closure_step(self.state, self.p)
         self._pending_loops.append(loop.found)
+
+    def _loop_plausible(self) -> bool:
+        """Host-side pre-gate: skip the loop dispatch when the device-side
+        candidate search (``detectLoopClosureDistance``, :610-643) provably
+        cannot find one.  Every dispatch costs a fixed ~30 ms through the
+        tunneled runtime even when the program immediately takes the
+        no-candidate branch, and on non-revisiting stretches (the common
+        production case) EVERY attempt is such a no-op.  Two conservative
+        checks from host-known data:
+
+        * age — EXACT: keyframe times are a subset of dispatched scan times,
+          so a session younger than the age gate has no eligible candidate.
+        * radius — the flushed trajectory is the keyframe positions'
+          superset (keyframes are selected from scan poses); if no pose old
+          enough lies within radius + a lag-travel margin of the latest
+          known pose, none can on device.  The margin covers the readback
+          lag at 2x the recently observed speed, so a true candidate is
+          never gated out; at worst detection shifts to the next attempt
+          (the reference's loop thread has the same 1 Hz granularity,
+          :1770-1781).  Unknown positions (nothing flushed yet) dispatch."""
+        p, t_cur = self.p, self._last_scan_time
+        if t_cur is None or self._epoch is None:
+            return True
+        if (t_cur - self._epoch) <= p.history_keyframe_search_time_diff:
+            return False
+        times = self._trajectory.times
+        if not times:
+            return True
+        t = np.asarray(times, np.float64)
+        old = (t_cur - t) > p.history_keyframe_search_time_diff
+        if not old.any():
+            return True
+        pos = np.asarray([m[:3, 3] for m in self._trajectory.poses])
+        dt_tail = max(t[-1] - t[max(len(t) - 8, 0)], 1e-3)
+        v = float(np.linalg.norm(pos[-1] - pos[max(len(t) - 8, 0)])) / dt_tail
+        margin = 2.0 * v * max(t_cur - t[-1], 0.0) + 1.0
+        d = np.linalg.norm(pos[old] - pos[-1], axis=1)
+        return bool((d < p.history_keyframe_search_radius + margin).any())
 
     def _flush_pending(self):
         """Batch-fetch accumulated poses + loop flags in ONE D2H + divergence

@@ -400,6 +400,7 @@ class IcpResult(NamedTuple):
     fitness: Array     # mean sq distance of matched points (PCL getFitnessScore)
     matched_frac: Array
     converged: Array
+    iters: Array = jnp.asarray(0, jnp.int32)  # iterations actually run
 
 
 def icp_point2point(
@@ -411,10 +412,25 @@ def icp_point2point(
     fitness_max_dist: float = jnp.inf,
     transformation_eps: float = 1e-6,
     candidates_per_cell: int = 16,
+    rel_mse_eps: float = 1e-5,
+    abs_mse_eps: float = 1e-12,
 ) -> IcpResult:
     """SVD-based rigid ICP (pcl::IterativeClosestPoint semantics: per-iter NN
     correspondences within ``max_corr_dist``, Umeyama/Kabsch update, stop on
-    transform epsilon; fitness = mean squared NN distance).
+    PCL's DefaultConvergenceCriteria; fitness = mean squared NN distance).
+
+    Stopping rule (pcl DefaultConvergenceCriteria, the criteria object
+    ``IterativeClosestPoint`` wires its epsilons into): iteration cap, OR
+    transform similarity — update translation^2 < ``transformation_eps``
+    AND update rotation cos(angle) > 1 - ``transformation_eps`` (PCL's
+    setTranslationThreshold / setRotationThreshold(1 - eps) mapping of
+    ``setTransformationEpsilon``), OR correspondence MSE absolute
+    (< ``abs_mse_eps``) / relative (|prev-cur| < ``rel_mse_eps``·prev, PCL's
+    ``setRelativeMSE`` mapping of ``setEuclideanFitnessEpsilon``).  The MSE
+    criteria matter on TPU: default-precision matmul jitter in the Kabsch
+    update keeps per-iteration increments above tiny transform epsilons, so
+    without them every loop-closure ICP burned the full iteration cap
+    (~100x the useful work; round-3 loop-ON bench measured the cost).
 
     ``converged`` follows PCL's ``hasConverged()``: reaching the iteration
     cap is a VALID stop (DefaultConvergenceCriteria reports
@@ -422,38 +438,47 @@ def icp_point2point(
     that correspondences existed — the caller's gate is the fitness score,
     exactly like ``performLoopClosure``'s
     ``icp.hasConverged() == false || icp.getFitnessScore() > ...``
-    (mapOptmization.cpp:575-580).  Round 3 found the stricter it<max_iters
-    flag silently vetoed every hardware loop closure: the TPU's default
-    matmul precision leaves ~bf16 jitter in the Kabsch update, so the 1e-6
-    transform epsilon never fired even at fitness 0.099."""
+    (mapOptmization.cpp:575-580)."""
 
     def body(state):
-        pose, _, it, _ = state
+        pose, _, _, _, prev_mse, it, _ = state
         moved = pose.apply(src_xyz)
         res = knn.query(tgt_grid, moved, src_mask, k=1,
                         candidates_per_cell=candidates_per_cell,
                         max_sqdist=max_corr_dist * max_corr_dist)
-        w = (res.valid[:, 0] & src_mask).astype(src_xyz.dtype)
+        ok = res.valid[:, 0] & src_mask
+        w = ok.astype(src_xyz.dtype)
+        nm = jnp.maximum(jnp.sum(w), 1.0)
+        mse = jnp.sum(jnp.where(ok, res.sqdist[:, 0], 0.0)) / nm
         dst = tgt_xyz[res.idx[:, 0]]
         R, t = linalg.weighted_kabsch(moved, dst, w)
         inc = se3.Pose(se3.matrix_to_quat(R), t)
         new_pose = inc.compose(pose)
-        delta = jnp.sum((R - jnp.eye(3)) ** 2) + jnp.sum(t * t)
-        return new_pose, delta, it + 1, w.sum()
+        # update magnitude, PCL-style: translation^2 and rotation cos(angle)
+        trans_sqr = jnp.sum(t * t)
+        cos_ang = 0.5 * (jnp.trace(R) - 1.0)
+        return new_pose, trans_sqr, cos_ang, prev_mse, mse, it + 1, w.sum()
 
     def cond(state):
-        _, delta, it, _ = state
-        return (delta > transformation_eps) & (it < max_iters)
+        _, trans_sqr, cos_ang, prev_mse, mse, it, nmatch = state
+        similar = (trans_sqr < transformation_eps) & (
+            cos_ang > 1.0 - transformation_eps)
+        mse_stop = (mse < abs_mse_eps) | (
+            jnp.abs(prev_mse - mse) < rel_mse_eps * prev_mse)
+        stop = similar | mse_stop | (nmatch <= 0)
+        return (it == 0) | ((it < max_iters) & ~stop)
 
     # carry seeds derive from the inputs (a numeric no-op) so shard_map's
     # varying-manual-axes check passes when the clouds are device-varying
     # (parallel/multisession.cross_session_align runs this per session)
     zero = jnp.sum(src_mask).astype(src_xyz.dtype) * 0.0
+    inf = jnp.asarray(jnp.inf, src_xyz.dtype) + zero
     state = (se3.Pose(init_pose.q + zero, init_pose.t + zero),
-             jnp.asarray(jnp.inf, src_xyz.dtype) + zero,
+             inf, -inf, inf, inf,
              jnp.asarray(0, jnp.int32) + jnp.sum(src_mask) * 0,
              zero)
-    pose, delta, it, nmatch = jax.lax.while_loop(cond, body, state)
+    pose, trans_sqr, cos_ang, prev_mse, mse, it, nmatch = jax.lax.while_loop(
+        cond, body, state)
 
     moved = pose.apply(src_xyz)
     res = knn.query(tgt_grid, moved, src_mask, k=1,
@@ -463,7 +488,7 @@ def icp_point2point(
     nm = jnp.maximum(jnp.sum(ok), 1)
     fitness = jnp.sum(jnp.where(ok, res.sqdist[:, 0], 0.0)) / nm
     frac = nm / jnp.maximum(jnp.sum(src_mask), 1)
-    return IcpResult(pose, fitness, frac, jnp.sum(ok) > 0)
+    return IcpResult(pose, fitness, frac, jnp.sum(ok) > 0, it)
 
 
 # ---------------------------------------------------------------------------

@@ -79,43 +79,54 @@ def main():
     aux = jnp.asarray(aux_np)
     inp = unpack_step_input(points, aux, p)
 
-    # frontend output -> scan-level downsampled features (host-built once)
-    front = jax.jit(lambda i: run_frontend(i.scan, p),
-                    static_argnums=())(inp)
-    corner_ds = voxel.voxel_downsample(front.corner, p.mapping_corner_leaf_size,
-                                       capacity=p.scan_corner_cap)
-    surf_ds = voxel.voxel_downsample(front.surf, p.mapping_surf_leaf_size,
-                                     capacity=p.scan_surf_cap)
+    # frontend output -> scan-level downsampled features (host-built once).
+    # ONE jitted program reused for every setup scan: a fresh lambda per
+    # scan would remote-recompile each time (minutes each on axon).
+    @jax.jit
+    def _front_ds(pts, ax):
+        i = unpack_step_input(pts, ax, p)
+        fr = run_frontend(i.scan, p)
+        c = voxel.voxel_downsample(fr.corner, p.mapping_corner_leaf_size,
+                                   capacity=p.scan_corner_cap)
+        su = voxel.voxel_downsample(fr.surf, p.mapping_surf_leaf_size,
+                                    capacity=p.scan_surf_cap)
+        return fr, c, su
+
+    front, corner_ds, surf_ds = _front_ds(points, aux)
 
     # realistic local map: all 24 scans' features in world frame -> moments
     # -> voxel feature tables (the incremental path's steady state)
     anchor = jnp.asarray(data[8]["gt_pose"][:3, 3].astype(np.float32))
+
+    @jax.jit
+    def _to_world(cxyz, sxyz, T):
+        R, t = T[:3, :3], T[:3, 3]
+        return cxyz @ R.T + t, sxyz @ R.T + t
 
     def world_feats(s):
         pi, ai = lio._make_input_np(
             s["xyz"], s["ring"], s["time_rel"], s["scan_start"],
             imu_t=s["imu_t"], imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
             imu_rpy=s["imu_rpy"])
-        ii = unpack_step_input(jnp.asarray(pi), jnp.asarray(ai), p)
-        fr = jax.jit(lambda i: run_frontend(i.scan, p))(ii)
-        c = voxel.voxel_downsample(fr.corner, p.mapping_corner_leaf_size,
-                                   capacity=p.scan_corner_cap)
-        su = voxel.voxel_downsample(fr.surf, p.mapping_surf_leaf_size,
-                                    capacity=p.scan_surf_cap)
-        T = jnp.asarray(s["gt_pose"].astype(np.float32))
-        R, t = T[:3, :3], T[:3, 3]
-        return (c.xyz @ R.T + t, c.mask, su.xyz @ R.T + t, su.mask)
+        _, c, su = _front_ds(jnp.asarray(pi), jnp.asarray(ai))
+        cw, sw = _to_world(c.xyz, su.xyz,
+                           jnp.asarray(s["gt_pose"].astype(np.float32)))
+        return (cw, c.mask, sw, su.mask)
 
     feats = [world_feats(s) for s in data[::3]]
     cxyz = jnp.concatenate([f[0] for f in feats])
     cmask = jnp.concatenate([f[1] for f in feats])
     sxyz = jnp.concatenate([f[2] for f in feats])
     smask = jnp.concatenate([f[3] for f in feats])
-    corner_mom = voxelmap.points_to_moments(
-        cxyz, cmask, p.mapping_corner_leaf_size, anchor, p.map_corner_cap)
-    surf_mom = voxelmap.points_to_moments(
-        sxyz, smask, p.mapping_surf_leaf_size, anchor, p.map_surf_cap)
-    lm = _features_from_moments(corner_mom, surf_mom, anchor, p)
+    @jax.jit
+    def _build_map(cxyz, cmask, sxyz, smask):
+        cm = voxelmap.points_to_moments(
+            cxyz, cmask, p.mapping_corner_leaf_size, anchor, p.map_corner_cap)
+        sm = voxelmap.points_to_moments(
+            sxyz, smask, p.mapping_surf_leaf_size, anchor, p.map_surf_cap)
+        return cm, sm, _features_from_moments(cm, sm, anchor, p)
+
+    corner_mom, surf_mom, lm = _build_map(cxyz, cmask, sxyz, smask)
     init6 = se3.Pose(
         se3.matrix_to_quat(jnp.asarray(s0["gt_pose"][:3, :3].astype(np.float32))),
         jnp.asarray(s0["gt_pose"][:3, 3].astype(np.float32))).to_vec6()

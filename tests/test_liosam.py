@@ -118,6 +118,45 @@ def test_loop_closure_detects_revisit():
     assert np.linalg.norm(est - gt, axis=1).max() < 1.0
 
 
+def test_host_loop_gate_skips_impossible_dispatches():
+    """The host pre-gate must skip loop dispatches that provably cannot find
+    a candidate (session too young / nothing old within radius) and allow
+    them when a revisit is plausible — it may never veto a true candidate."""
+    p = tiny_params(loop_closure_enabled=True,
+                    history_keyframe_search_time_diff=3.0,
+                    history_keyframe_search_radius=2.0)
+    lio = LioSam(p)
+
+    def fake(times, positions, t_cur):
+        lio._epoch = times[0]
+        lio._last_scan_time = t_cur
+        lio._trajectory.times = list(times)
+        lio._trajectory.poses = []
+        for pos in positions:
+            m = np.eye(4)
+            m[:3, 3] = pos
+            lio._trajectory.poses.append(m)
+
+    # session younger than the age gate: exact skip
+    fake([100.0, 100.5], [[0, 0, 0], [1, 0, 0]], 102.0)
+    assert lio._loop_plausible() is False
+    # old poses exist but all far outside the radius: skip
+    ts = [100.0 + 0.1 * i for i in range(100)]
+    ps = [[2.0 * 0.1 * i, 0, 0] for i in range(100)]  # straight line, 2 m/s
+    fake(ts, ps, ts[-1])
+    assert lio._loop_plausible() is False
+    # revisit: the latest pose is back near the oldest -> dispatch
+    ps2 = list(ps)
+    ps2[-1] = [0.5, 0, 0]
+    fake(ts, ps2, ts[-1])
+    assert lio._loop_plausible() is True
+    # nothing flushed yet: cannot rule out -> dispatch
+    lio._trajectory.times = []
+    lio._trajectory.poses = []
+    lio._last_scan_time = 200.0
+    assert lio._loop_plausible() is True
+
+
 def test_multi_lidar_fusion_into_lio():
     """Two simulated LiDARs fused into one cloud, fed to LIO (the
     PointClouds_Fusion -> LIO-SAM composition of the reference stack)."""

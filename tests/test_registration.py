@@ -110,6 +110,30 @@ def test_icp_point2point_recovers_transform():
     assert float(res.fitness) < 1e-4
 
 
+def test_icp_converges_early_not_at_iteration_cap():
+    # PCL DefaultConvergenceCriteria (transform similarity + relative MSE)
+    # must stop a noisy alignment long before the iteration cap, at the same
+    # pose the cap-bound run reaches (mapOptmization.cpp:561-563 epsilons).
+    pts = RNG.uniform(-5, 5, size=(2000, 3)).astype(np.float32)
+    R = Rs.from_euler("xyz", [0.02, -0.03, 0.08]).as_matrix().astype(np.float32)
+    t = np.array([0.2, 0.1, -0.15], np.float32)
+    tgt = (pts @ R.T + t + 0.01 * RNG.normal(size=pts.shape)).astype(np.float32)
+    grid = knn.build(jnp.asarray(tgt), jnp.ones(len(tgt), bool), 1.0, 8192)
+    kw = dict(max_iters=100, max_corr_dist=2.0, candidates_per_cell=32)
+    src, sm = jnp.asarray(pts), jnp.ones(len(pts), bool)
+    res = reg.icp_point2point(src, sm, grid, jnp.asarray(tgt),
+                              se3.Pose.identity(), **kw)
+    full = reg.icp_point2point(src, sm, grid, jnp.asarray(tgt),
+                               se3.Pose.identity(), transformation_eps=0.0,
+                               rel_mse_eps=0.0, abs_mse_eps=0.0, **kw)
+    assert int(full.iters) == 100          # criteria off -> cap-bound
+    assert int(res.iters) < 40             # criteria on -> early exit
+    np.testing.assert_allclose(np.asarray(res.pose.to_matrix()),
+                               np.asarray(full.pose.to_matrix()), atol=2e-3)
+    np.testing.assert_allclose(float(res.fitness), float(full.fitness),
+                               rtol=0.1, atol=1e-5)
+
+
 def test_icp_fitness_reflects_mismatch():
     src = RNG.uniform(-5, 5, size=(500, 3)).astype(np.float32)
     tgt = RNG.uniform(-5, 5, size=(500, 3)).astype(np.float32)
