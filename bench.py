@@ -117,8 +117,12 @@ def main():
     jax.block_until_ready(outs2.pose6)
     # warm the LOOP program too — its first dispatch would otherwise
     # compile inside the timed region (measured: 6.9 scans/s with the
-    # compile in-timing vs the real steady state)
-    lio2._try_loop_closure()
+    # compile in-timing vs the real steady state).  Call the jitted program
+    # directly: _try_loop_closure's host pre-gate (age-exact) correctly
+    # skips dispatch on a young session, which silently skipped this warm-up
+    # and put the compile back in-timing (r3 bench measured 1.81 scans/s).
+    from msst_tpu.models.liosam.loop import loop_closure_step
+    lio2.state, _ = loop_closure_step(lio2.state, lio2.p)
     lio2.flush()
     t0 = time.perf_counter()
     for i in range(window, n_loop_scans, window):

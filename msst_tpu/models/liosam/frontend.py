@@ -67,9 +67,18 @@ class FrontendOutput(NamedTuple):
 
 
 def run_frontend(scan: ScanInput, p, vel_body: Array | None = None,
-                 acc_body: Array | None = None) -> FrontendOutput:
+                 acc_body: Array | None = None,
+                 carry_time: bool = False) -> FrontendOutput:
     """p: LioParams.  vel_body/acc_body: optional scan-start body-frame
-    velocity/acceleration for translation deskew (ops/range_image.deskew)."""
+    velocity/acceleration for translation deskew (ops/range_image.deskew).
+
+    carry_time: attach each point's firing offset (scan.time) as a 1-wide
+    attr so it survives feature selection and voxel downsampling (as the
+    per-voxel mean) — the window pipeline runs this stage batched with
+    rotation-only deskew and applies the (linear-in-dt) translation deskew
+    to the downsampled features inside the sequential estimator step, where
+    the ESKF velocity lives.  Centroid averaging commutes with the linear
+    term exactly (mean(x_i + v dt_i) = mean(x_i) + v mean(dt_i))."""
     # --- deskew rotation timeline (imuDeskewInfo :305-362)
     imu_win = ri.ImuWindow(scan.imu_t, scan.imu_gyro, scan.imu_acc, scan.imu_mask)
     times, rots = ri.imu_rotation_timeline(imu_win)
@@ -83,7 +92,8 @@ def run_frontend(scan: ScanInput, p, vel_body: Array | None = None,
         vel_body=vel_body,
         acc_body=acc_body,
     )
-    cloud = Cloud.create(deskewed, mask=scan.mask)
+    attrs = scan.time[:, None] if carry_time else None
+    cloud = Cloud.create(deskewed, mask=scan.mask, attrs=attrs)
 
     # --- range image + ring extraction (projectPointCloud/cloudExtraction)
     img = ri.project(cloud, scan.ring, p.n_scan, p.horizon_scan,
@@ -97,6 +107,7 @@ def run_frontend(scan: ScanInput, p, vel_body: Array | None = None,
         masks = F.extract_features_nms(ext, p.edge_threshold, p.surf_threshold)
 
     flat_xyz = ext.xyz.reshape(-1, 3)
+    flat_attrs = ext.attrs.reshape(flat_xyz.shape[0], -1)
     corner_mask = masks.corner.reshape(-1)
     surf_mask = masks.surface.reshape(-1)
     ring_id = jnp.broadcast_to(
@@ -105,10 +116,11 @@ def run_frontend(scan: ScanInput, p, vel_body: Array | None = None,
 
     from ...ops.pointcloud import compact
 
-    corner = compact(Cloud.create(flat_xyz, mask=corner_mask), p.scan_corner_cap)
+    corner = compact(Cloud(flat_xyz, corner_mask, flat_attrs),
+                     p.scan_corner_cap)
 
     # per-ring surface voxel downsample (featureExtraction.cpp:226-236)
-    surf_full = Cloud.create(flat_xyz, mask=surf_mask)
+    surf_full = Cloud(flat_xyz, surf_mask, flat_attrs)
     surf = voxel.voxel_downsample(
         surf_full, p.odometry_surf_leaf_size, capacity=p.scan_surf_cap,
         extra_key=ring_id,

@@ -54,9 +54,20 @@ class FilterState(NamedTuple):
 
 
 def propagate(fs: FilterState, pre: imu_ops.Preintegrated,
-              params: imu_ops.ImuParams) -> FilterState:
-    """Propagate through a preintegrated delta (integrated at fs.bias)."""
-    nav = imu_ops.predict(fs.nav, pre, fs.bias, fs.bias, params)
+              params: imu_ops.ImuParams,
+              bias_ref: imu_ops.ImuBias | None = None) -> FilterState:
+    """Propagate through a preintegrated delta.
+
+    bias_ref: the linearization bias `pre` was integrated at (default:
+    fs.bias, i.e. no correction).  Passing zero lets the window pipeline
+    preintegrate ALL scans in one batched pass outside the sequential
+    estimator scan and correct to the current bias here via the standard
+    first-order bias Jacobians (Forster eq. 70 — the same mechanism gtsam's
+    predict applies between integrations, ``imuPreintegration.cpp:479``);
+    the residual is O(|b|^2), orders below sensor noise at real bias scales.
+    """
+    nav = imu_ops.predict(fs.nav, pre, fs.bias,
+                          fs.bias if bias_ref is None else bias_ref, params)
     R = se3.quat_to_matrix(fs.nav.q)
     dt = pre.dt
     Z = jnp.zeros((3, 3))

@@ -135,35 +135,50 @@ def _passthrough_output(state: LioState) -> StepOutput:
 @partial(jax.jit, static_argnames=("p",), donate_argnums=(0,))
 def odometry_window_packed(state: LioState, points_w: Array, aux_w: Array,
                            p: LioParams):
-    """W scans in ONE dispatch: ``lax.scan`` of the odometry step over a
-    window of packed inputs.
+    """W scans in ONE dispatch: batched scan preparation + ``lax.scan`` of
+    the estimator core over a window of packed inputs.
 
     Through the tunneled-TPU runtime every dispatch pays ~25-35 ms of host
     overhead regardless of device time (measured round 1, docs/DESIGN.md), so
     feeding scans one program at a time caps throughput near 15 scans/s even
     when the device math takes 15 ms.  Batching W scans per program amortizes
-    that fixed cost to overhead/W.  Semantics are identical to W sequential
-    ``odometry_step_packed`` calls (the scan body IS odometry_step); padded
-    slots carry aux[2T, 7] = 0 and pass the state through unchanged, so a
-    partial window reuses this same compiled program instead of compiling a
-    second one (remote compiles cost 10-50 min).
+    that fixed cost to overhead/W.
+
+    The scan-local pipeline (deskew rotation, range image, feature
+    extraction, feature downsample, zero-bias IMU preintegration — nothing
+    that reads estimator state) is hoisted OUT of the sequential scan and
+    vmapped over the window: one batch of W-fold-larger ops instead of W
+    repetitions of small latency-bound ones.  The sequential body applies
+    the state-dependent parts: translation deskew from the ESKF velocity
+    (linear in the per-feature firing offsets carried through downsampling)
+    and first-order bias correction of the preintegration (Forster
+    Jacobians; see imu_fusion.propagate).  Semantics match W sequential
+    ``odometry_step_packed`` calls, which route through the same
+    prepare/core split.  Padded slots carry aux[2T, 7] = 0 and pass the
+    state through unchanged, so a partial window reuses this same compiled
+    program instead of compiling a second one (remote compiles cost
+    10-50 min).
 
     points_w: (W, max_points, 5);  aux_w: (W, 2T+3, 8)
     """
     T = p.imu_window
 
-    def body(st, pa):
-        pts, aux = pa
-        valid = aux[2 * T, 7] > 0.5
+    preps = jax.vmap(
+        lambda pts, aux: prepare_scan(unpack_step_input(pts, aux, p), p)
+    )(points_w, aux_w)
+    valid_w = aux_w[:, 2 * T, 7] > 0.5
+
+    def body(st, pv):
+        ps, valid = pv
         st, out = jax.lax.cond(
             valid,
-            lambda s: odometry_step(s, unpack_step_input(pts, aux, p), p),
+            lambda s: odometry_core(s, ps, p),
             lambda s: (s, _passthrough_output(s)),
             st,
         )
         return st, out
 
-    return jax.lax.scan(body, state, (points_w, aux_w))
+    return jax.lax.scan(body, state, (preps, valid_w))
 
 
 POINT_QUANT = (256.0, 256.0, 256.0, 16384.0, 1.0)  # per-column int16 scales:
@@ -343,11 +358,22 @@ def _tiny_cloud():
                         mask=jnp.zeros((8,), bool))
 
 
+def _int_ratio(coarse: float, fine: float) -> bool:
+    """True when coarse/fine is an integer — then rows sorted by the fine
+    grid's packed key are already sorted by the coarse grid's (same origin),
+    and the coarse feature fit can skip its sort (ops/voxelmap.build
+    presorted)."""
+    r = coarse / fine
+    return abs(r - round(r)) < 1e-6 and r >= 1.0
+
+
 def _features_from_moments(corner_mom, surf_mom, anchor: Array, p: LioParams):
     """LocalMap from persistent moment tables: fine-cell centroids feed the
     coarse voxel-feature fit — identical semantics to the full rebuild's
     centroid-downsample-then-fit (``extractCloud`` :899-938 + ops/voxelmap),
-    but the per-point work was already amortized into the moments."""
+    but the per-point work was already amortized into the moments.  The fit
+    skips its sort when the coarse leaf is an integer multiple of the fine
+    (moment) leaf: sorted fine keys are already sorted by coarse key."""
     from ...ops import voxelmap
     from .state import LocalMap
 
@@ -365,12 +391,16 @@ def _features_from_moments(corner_mom, surf_mom, anchor: Array, p: LioParams):
         corner_xyz=tiny.xyz, corner_mask=tiny.mask,
         surf_xyz=tiny.xyz, surf_mask=tiny.mask,
         corner_grid=grid(8), surf_grid=grid(8),
-        corner_vox=voxelmap.build(cx, cm, p.vox_corner_leaf, p.vox_corner_cap,
-                                  "line", table_size=2 * p.vox_corner_cap,
-                                  origin=anchor),
-        surf_vox=voxelmap.build(sx, sm, p.vox_surf_leaf, p.vox_surf_cap,
-                                "plane", table_size=2 * p.vox_surf_cap,
-                                origin=anchor),
+        corner_vox=voxelmap.build(
+            cx, cm, p.vox_corner_leaf, p.vox_corner_cap,
+            "line", table_size=2 * p.vox_corner_cap, origin=anchor,
+            presorted=_int_ratio(p.vox_corner_leaf,
+                                 p.mapping_corner_leaf_size)),
+        surf_vox=voxelmap.build(
+            sx, sm, p.vox_surf_leaf, p.vox_surf_cap,
+            "plane", table_size=2 * p.vox_surf_cap, origin=anchor,
+            presorted=_int_ratio(p.vox_surf_leaf,
+                                 p.mapping_surf_leaf_size)),
         corner_mom=corner_mom, surf_mom=surf_mom, anchor=anchor,
         valid=jnp.asarray(True),
     )
@@ -537,7 +567,7 @@ def _evict_oldest_keyframe(state: LioState, p: LioParams) -> LioState:
 
 
 def _insert_keyframe(state: LioState, pose6: Array, scan_time: Array,
-                     corner: Cloud, surf: Cloud, inp: StepInput,
+                     corner: Cloud, surf: Cloud, inp: "PreparedScan",
                      p: LioParams) -> LioState:
     K = state.kf.pose6.shape[0]
     # at capacity: evict the oldest keyframe with marginalization instead of
@@ -704,52 +734,126 @@ def _insert_keyframe(state: LioState, pose6: Array, scan_time: Array,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("p",))
-def odometry_step(state: LioState, inp: StepInput, p: LioParams):
-    # --- inter-scan IMU preintegration + filter propagation (first, so the
-    # scan-start velocity is available for translation deskew)
+class PreparedScan(NamedTuple):
+    """Everything the estimator core needs from one scan, computable without
+    estimator state — the batchable prefix of the odometry step (vmapped
+    over the dispatch window in ``odometry_window_packed``).
+
+    Feature clouds are rotation-only deskewed (the reference's semantics,
+    ``findPosition`` stubbed :473-487); each feature carries its mean firing
+    offset ``*_dt`` so the core can add the state-dependent translation
+    deskew term exactly (linear in dt — commutes with centroid averaging).
+    ``pre`` is integrated at ZERO bias; the core corrects to the live bias
+    via the preintegration's bias Jacobians (imu_fusion.propagate).
+    """
+
+    corner_xyz: Array   # (scan_corner_cap, 3) rotation-deskewed scan frame
+    corner_dt: Array    # (scan_corner_cap,) mean firing offset from scan start
+    corner_mask: Array
+    surf_xyz: Array     # (scan_surf_cap, 3)
+    surf_dt: Array
+    surf_mask: Array
+    n_corner: Array     # pre-downsample feature counts (the `enough` gates)
+    n_surf: Array
+    deskew_on: Array    # () bool — rotation deskew ran (imu window usable)
+    f_mean: Array       # (3,) mean specific force over the scan window
+    f_ok: Array         # () bool — >=2 IMU samples in the window
+    rpy_init: Array     # (3,)
+    imu_available: Array
+    scan_start: Array
+    pre: imu_ops.Preintegrated  # inter-scan preintegration at ZERO bias
+    gps_xyz: Array
+    gps_sigma: Array
+    gps_valid: Array
+    init_vel_body: Array
+    init_vel_valid: Array
+
+
+def prepare_scan(inp: StepInput, p: LioParams) -> PreparedScan:
+    """The state-independent per-scan pipeline: frontend (rotation-only
+    deskew + features, firing offsets carried as attrs), mapping-leaf
+    downsample (``downsampleCurrentScan`` :955-967), zero-bias IMU
+    preintegration."""
+    front = run_frontend(inp.scan, p, carry_time=True)
+    corner_ds = voxel.voxel_downsample(front.corner,
+                                       p.mapping_corner_leaf_size,
+                                       capacity=p.scan_corner_cap)
+    surf_ds = voxel.voxel_downsample(front.surf, p.mapping_surf_leaf_size,
+                                     capacity=p.scan_surf_cap)
     pre = imu_ops.preintegrate(inp.pre_t, inp.pre_gyro, inp.pre_acc,
-                               inp.pre_mask, state.filter.bias, p.imu_params)
+                               inp.pre_mask, imu_ops.ImuBias.zero(),
+                               p.imu_params)
+    n_imu = jnp.sum(inp.scan.imu_mask.astype(jnp.int32))
+    w = inp.scan.imu_mask.astype(jnp.float32)
+    f_mean = (jnp.sum(inp.scan.imu_acc * w[:, None], axis=0)
+              / jnp.maximum(jnp.sum(w), 1.0))
+    return PreparedScan(
+        corner_xyz=corner_ds.xyz, corner_dt=corner_ds.attrs[:, 0],
+        corner_mask=corner_ds.mask,
+        surf_xyz=surf_ds.xyz, surf_dt=surf_ds.attrs[:, 0],
+        surf_mask=surf_ds.mask,
+        n_corner=front.n_corner, n_surf=front.n_surf,
+        deskew_on=inp.scan.imu_available & (n_imu > 1),
+        f_mean=f_mean, f_ok=jnp.sum(w) > 1,
+        rpy_init=inp.scan.imu_rpy_init,
+        imu_available=inp.scan.imu_available,
+        scan_start=inp.scan.scan_start,
+        pre=pre,
+        gps_xyz=inp.gps_xyz, gps_sigma=inp.gps_sigma, gps_valid=inp.gps_valid,
+        init_vel_body=inp.init_vel_body, init_vel_valid=inp.init_vel_valid,
+    )
+
+
+def odometry_core(state: LioState, ps: PreparedScan, p: LioParams):
+    """The state-dependent estimator step over a prepared scan."""
+    # --- filter propagation through the zero-bias preintegration, corrected
+    # to the live bias via the Forster Jacobians (first, so the scan-start
+    # velocity is available for translation deskew)
     fs_prop = jax.lax.cond(
-        state.initialized & (pre.n_used > 0),
-        lambda: imu_fusion.propagate(state.filter, pre, p.imu_params),
+        state.initialized & (ps.pre.n_used > 0),
+        lambda: imu_fusion.propagate(state.filter, ps.pre, p.imu_params,
+                                     bias_ref=imu_ops.ImuBias.zero()),
         lambda: state.filter,
     )
 
-    # scan-start body-frame velocity for translation deskew (DEVIATION, an
-    # improvement: the reference's findPosition is stubbed to zero,
-    # imageProjection.cpp:473-487; the ESKF velocity is in-program here)
-    vel_body = acc_body = None
+    corner_xyz, surf_xyz = ps.corner_xyz, ps.surf_xyz
     if p.deskew_translation:
+        # scan-start body-frame velocity for translation deskew (DEVIATION,
+        # an improvement: the reference's findPosition is stubbed to zero,
+        # imageProjection.cpp:473-487; the ESKF velocity is in-program here).
+        # Applied to the downsampled features (linear in their mean firing
+        # offsets), gated like the rotation deskew it extends.
         q_inv = se3.quat_conj(fs_prop.nav.q)
         v_b = se3.quat_rotate(q_inv, fs_prop.nav.v)
         # first scan: no estimate exists — use the pipeline's bootstrap hint
         # (dynamic init re-feeds the first window with the converged
         # velocity; body-frame velocity is near-constant over that window)
         vel_body = jnp.where(state.initialized, v_b,
-                             jnp.where(inp.init_vel_valid,
-                                       inp.init_vel_body, 0.0))
+                             jnp.where(ps.init_vel_valid,
+                                       ps.init_vel_body, 0.0))
         # body-frame acceleration = mean specific force over the scan window
         # + gravity rotated into the body frame (second-order deskew term)
-        w = inp.scan.imu_mask.astype(jnp.float32)
-        f_mean = (jnp.sum(inp.scan.imu_acc * w[:, None], axis=0)
-                  / jnp.maximum(jnp.sum(w), 1.0))
         g_b = se3.quat_rotate(
             q_inv, jnp.array([0.0, 0.0, -p.imu_gravity], jnp.float32))
         acc_body = jnp.where(
-            (state.initialized | inp.init_vel_valid) & (jnp.sum(w) > 1),
-            f_mean + g_b, 0.0)
+            (state.initialized | ps.init_vel_valid) & ps.f_ok,
+            ps.f_mean + g_b, 0.0)
+        on = ps.deskew_on
 
-    front = run_frontend(inp.scan, p, vel_body=vel_body, acc_body=acc_body)
+        def shift(xyz, dt):
+            d = dt[:, None]
+            return xyz + jnp.where(
+                on, vel_body[None, :] * d + 0.5 * acc_body[None, :] * d * d,
+                0.0)
 
-    # further downsample for scan-to-map (downsampleCurrentScan :955-967)
-    corner_ds = voxel.voxel_downsample(front.corner, p.mapping_corner_leaf_size,
-                                       capacity=p.scan_corner_cap)
-    surf_ds = voxel.voxel_downsample(front.surf, p.mapping_surf_leaf_size,
-                                     capacity=p.scan_surf_cap)
+        corner_xyz = shift(corner_xyz, ps.corner_dt)
+        surf_xyz = shift(surf_xyz, ps.surf_dt)
+
+    corner_ds = Cloud.create(corner_xyz, mask=ps.corner_mask)
+    surf_ds = Cloud.create(surf_xyz, mask=ps.surf_mask)
 
     # --- initial guess (updateInitialGuess :786-845)
-    rpy_init = inp.scan.imu_rpy_init
+    rpy_init = ps.rpy_init
     first_guess = jnp.concatenate([rpy_init, jnp.zeros(3)])
     prop_pose = se3.Pose(fs_prop.nav.q, fs_prop.nav.p)
     cont_guess = prop_pose.to_vec6()
@@ -758,8 +862,8 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
     # --- scan-to-map against the cached local map (rebuilt at keyframes)
     lm = state.local_map
     have_map = (state.kf.count > 0) & lm.valid
-    enough = (front.n_corner > p.edge_feature_min_valid_num) & (
-        front.n_surf > p.surf_feature_min_valid_num)
+    enough = (ps.n_corner > p.edge_feature_min_valid_num) & (
+        ps.n_surf > p.surf_feature_min_valid_num)
 
     use_pallas = (p.use_pallas == "on"
                   or (p.use_pallas == "auto"
@@ -801,7 +905,7 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
         pitch = se3.slerp_angle(pose6[1], rpy_init[1], w)
         return pose6.at[0].set(roll).at[1].set(pitch)
 
-    pose6 = jax.lax.cond(inp.scan.imu_available, fuse_rpy, lambda x: x, pose6)
+    pose6 = jax.lax.cond(ps.imu_available, fuse_rpy, lambda x: x, pose6)
     pose6 = pose6.at[0].set(jnp.clip(pose6[0], -p.rotation_tolerance, p.rotation_tolerance))
     pose6 = pose6.at[1].set(jnp.clip(pose6[1], -p.rotation_tolerance, p.rotation_tolerance))
     pose6 = pose6.at[5].set(jnp.clip(pose6[5], -p.z_tolerance, p.z_tolerance))
@@ -819,8 +923,8 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
 
     state2 = jax.lax.cond(
         is_kf,
-        lambda s: _insert_keyframe(s, pose6, inp.scan.scan_start,
-                                   corner_ds, surf_ds, inp, p),
+        lambda s: _insert_keyframe(s, pose6, ps.scan_start,
+                                   corner_ds, surf_ds, ps, p),
         lambda s: s._replace(pose6=pose6),
         state,
     )
@@ -835,8 +939,8 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
     registered = have_map & enough
 
     def init_filter():
-        v0 = jnp.where(inp.init_vel_valid,
-                       se3.quat_rotate(pose_out.q, inp.init_vel_body), 0.0)
+        v0 = jnp.where(ps.init_vel_valid,
+                       se3.quat_rotate(pose_out.q, ps.init_vel_body), 0.0)
         return imu_fusion.FilterState.initial(pose_out, velocity=v0)
 
     def update_filter():
@@ -852,7 +956,7 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
 
     new_state = state2._replace(
         filter=fs_new,
-        last_scan_time=inp.scan.scan_start,
+        last_scan_time=ps.scan_start,
         initialized=jnp.asarray(True),
         degenerate=degenerate,
         loop_closed=jnp.asarray(False),
@@ -861,8 +965,15 @@ def odometry_step(state: LioState, inp: StepInput, p: LioParams):
         pose=pose_out, pose_matrix=pose_out.to_matrix(),
         pose6=pose6_out, velocity=fs_new.nav.v, bias=fs_new.bias,
         degenerate=degenerate, is_keyframe=is_kf,
-        n_corner=front.n_corner, n_surf=front.n_surf,
+        n_corner=ps.n_corner, n_surf=ps.n_surf,
         kf_count=new_state.kf.count,
         s2m_iterations=s2m_iters,
     )
     return new_state, out
+
+
+@partial(jax.jit, static_argnames=("p",))
+def odometry_step(state: LioState, inp: StepInput, p: LioParams):
+    """One scan through prepare + core (the single-scan entry; the windowed
+    dispatch runs the same two stages with the prepare phase vmapped)."""
+    return odometry_core(state, prepare_scan(inp, p), p)

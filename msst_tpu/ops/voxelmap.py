@@ -33,12 +33,22 @@ _P1, _P2, _P3 = 73856093, 19349663, 83492791
 _BIG = jnp.int32(2**30)
 
 
+PROBE_C = 3  # candidate slots materialized per hash bucket (load factor is
+#              <= 0.5 by construction: table_size >= 2*capacity, so P(bucket
+#              overflow) ~ Poisson(0.5) tail ~ 1.6%; overflow entries are
+#              simply unreachable, like a full PCL kd-tree leaf truncation)
+
+
 class VoxelFeatureMap(NamedTuple):
     """Fixed-capacity voxel-Gaussian table + hash buckets for O(1) lookup.
 
-    `stats` packs [coord-key(bits), mean(3), dir(3), d, valid, count, pad(2)]
-    into one 12-float row so candidate probing is a single wide gather —
-    narrow per-field gathers cost ~4x more on TPU (per-index overhead).
+    `probe` is the lookup's ONLY gathered table: one row per hash bucket,
+    holding its PROBE_C candidates fully embedded as
+    [coord-key(bits), mean(3), dir(3), d] x PROBE_C (24 floats).  A query
+    probes 8 octant cells = 8 wide rows; per-row overhead dominates TPU
+    gathers (narrow per-field gathers measured ~4x slower round 2), so 8
+    wide rows beat the old 24 narrow probe rows + a dependent winner gather.
+    `stats` keeps the per-voxel layout for the Pallas kernel path.
     """
 
     coords: Array        # (V, 3) int32 voxel coords (garbage where ~mask)
@@ -48,10 +58,8 @@ class VoxelFeatureMap(NamedTuple):
     count: Array         # (V,) member points
     valid: Array         # (V,) bool — passes the geometric quality gates
     mask: Array          # (V,) bool — slot occupied
-    stats: Array         # (V, 12) packed rows (see above)
-    probe: Array         # (V, 4) [key(valid-folded), mean] — the probe-phase
-    #                      gather reads 16 B/candidate instead of 48; the
-    #                      full stats row is gathered for the WINNER only
+    stats: Array         # (V, 12) [key(bits), mean3, dir3, d, valid, cnt, 0, 0]
+    probe: Array         # (H, PROBE_C*8) bucket-aligned embedded rows
     bucket_start: Array  # (H,)
     bucket_count: Array  # (H,)
     leaf: Array          # () float32
@@ -85,7 +93,8 @@ def _coord_key(c: Array) -> Array:
 def build(xyz: Array, mask: Array, leaf: float, capacity: int,
           kind: str, table_size: int = 8192, min_points: int = 3,
           line_ratio: float = 3.0, plane_thickness: float = 0.1,
-          origin: Array | None = None) -> VoxelFeatureMap:
+          origin: Array | None = None,
+          presorted: bool = False) -> VoxelFeatureMap:
     """Voxelize + fit per-voxel features.
 
     kind: "plane" (surf map) or "line" (corner map).
@@ -97,6 +106,13 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
     maps always fit).  The SAME origin-relative grid is used for the sort,
     the segmentation, and the coord keys (a mixed absolute/relative grid
     fragments each cell into duplicate entries — ADVICE r1).
+    presorted: (origin path only) the input rows are already sorted by a
+    FINER voxel grid's packed key on the SAME origin with `leaf` an integer
+    multiple of the fine leaf, invalid rows last — then they are sorted by
+    this grid's key too (floor(c/m) is per-axis monotone and constant within
+    a fine cell, so the fine lexicographic order is preserved exactly) and
+    the sort is skipped.  This is the moment-table fast path: fine-cell
+    centroids come straight out of a sorted VoxelMoments table.
     """
     leaf_f = jnp.asarray(leaf, jnp.float32)
     origin_f = (jnp.zeros(3, jnp.float32) if origin is None
@@ -111,9 +127,12 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
         mask = mask & in_range
         key = (rel[:, 0] << 20) | (rel[:, 1] << 10) | rel[:, 2]
         key = jnp.where(mask, key, jnp.int32(2**30))
-        key_s, x0, x1, x2 = jax.lax.sort(
-            (key, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1)
-        xyz_s = jnp.stack([x0, x1, x2], axis=1)
+        if presorted:
+            key_s, xyz_s = key, xyz
+        else:
+            key_s, x0, x1, x2 = jax.lax.sort(
+                (key, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1)
+            xyz_s = jnp.stack([x0, x1, x2], axis=1)
         valid_s = key_s < jnp.int32(2**30)
         rel_s = jnp.stack([(key_s >> 20) & 1023, (key_s >> 10) & 1023,
                            key_s & 1023], axis=1)
@@ -174,22 +193,25 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
 
     valid = occupied & (cnt >= min_points) & quality_ok
 
-    # bucket table over voxel coords
+    # bucket table over voxel coords — multi-operand sort by hash (values
+    # ride the sort network; the old argsort + 7 permutation gathers cost
+    # V random rows each)
     h = jnp.where(occupied, _hash3(coords_v, table_size), table_size)
-    horder = jnp.argsort(h)
-    h_sorted = h[horder]
+    (h_sorted, c0, c1, c2, m0, m1, m2, dx, dy, dz, d_s, cnt_s, valid_i,
+     occ_i) = jax.lax.sort(
+        (h, coords_v[:, 0], coords_v[:, 1], coords_v[:, 2],
+         mu[:, 0], mu[:, 1], mu[:, 2],
+         direction[:, 0], direction[:, 1], direction[:, 2],
+         d, cnt, valid.astype(jnp.int32), occupied.astype(jnp.int32)),
+        num_keys=1)
     starts, ends = segments.segment_boundaries(h_sorted, table_size)
-
-    def perm(a):
-        return a[horder]
-
-    coords_p = perm(coords_v)
-    mean_p = perm(mu)
-    dir_p = perm(direction)
-    d_p = perm(d)
-    cnt_p = perm(cnt)
-    valid_p = perm(valid)
-    mask_p = perm(occupied)
+    coords_p = jnp.stack([c0, c1, c2], axis=1)
+    mean_p = jnp.stack([m0, m1, m2], axis=1)
+    dir_p = jnp.stack([dx, dy, dz], axis=1)
+    d_p = d_s
+    cnt_p = cnt_s
+    valid_p = valid_i > 0
+    mask_p = occ_i > 0
     # coords are already origin-relative (or absolute when origin=None,
     # valid while |coords| < 512 cells)
     key_bits = jax.lax.bitcast_convert_type(_coord_key(coords_p), jnp.float32)
@@ -199,12 +221,27 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
         cnt_p.astype(jnp.float32)[:, None],
         jnp.zeros((capacity, 2), jnp.float32),
     ], axis=1)
-    # probe rows fold validity into the key (invalid -> sentinel, never
-    # matches a query): the per-candidate gather shrinks to 16 B
+    # bucket-aligned embedded probe rows: candidate c of bucket b lives at
+    # flat row b*PROBE_C + c, fully embedded [key, mean3, dir3, d] so the
+    # lookup is ONE wide gather with no dependent winner gather.  Validity
+    # folds into the key (invalid -> sentinel, never matches a query).
     probe_key = jnp.where(valid_p, _coord_key(coords_p), jnp.int32(2**30))
-    probe = jnp.concatenate([
-        jax.lax.bitcast_convert_type(probe_key, jnp.float32)[:, None], mean_p,
-    ], axis=1)
+    emb = jnp.concatenate([
+        jax.lax.bitcast_convert_type(probe_key, jnp.float32)[:, None],
+        mean_p, dir_p, d_p[:, None],
+    ], axis=1)                                              # (V, 8)
+    pos = jnp.arange(capacity, dtype=jnp.int32)
+    is_new = (h_sorted != jnp.roll(h_sorted, 1)).at[0].set(True)
+    run_start = jax.lax.cummax(jnp.where(is_new, pos, 0))
+    rank = pos - run_start
+    in_table = mask_p & (h_sorted < table_size) & (rank < PROBE_C)
+    dest = jnp.where(in_table, h_sorted * PROBE_C + rank,
+                     table_size * PROBE_C)
+    sent = jax.lax.bitcast_convert_type(jnp.int32(2**30), jnp.float32)
+    init = jnp.zeros((table_size * PROBE_C + 1, 8), jnp.float32
+                     ).at[:, 0].set(sent)
+    probe = init.at[dest].set(emb)[:table_size * PROBE_C].reshape(
+        table_size, PROBE_C * 8)
 
     return VoxelFeatureMap(
         coords=coords_p, mean=mean_p, direction=dir_p,
@@ -371,20 +408,26 @@ def moments_centroids(m: VoxelMoments, leaf: float | Array, origin: Array
 
 
 class VoxelLookup(NamedTuple):
-    idx: Array        # (Q,) best matching voxel slot (clipped)
+    idx: Array        # (Q,) winning candidate index (octant*PROBE_C + lane;
+    #                   diagnostic only — all stats are embedded below)
     found: Array      # (Q,) bool
     mean: Array       # (Q, 3) matched voxel mean
     direction: Array  # (Q, 3) matched voxel plane normal / line direction
     d: Array          # (Q,) matched plane offset
 
 
-def lookup(vmap: VoxelFeatureMap, q_xyz: Array, q_mask: Array,
-           candidates_per_bucket: int = 3) -> VoxelLookup:
+def lookup(vmap: VoxelFeatureMap, q_xyz: Array, q_mask: Array) -> VoxelLookup:
     """Find the best feature voxel for each query point: probe the containing
     voxel + the 7 octant neighbors toward the in-cell offset, resolve hash
-    buckets by packed-coordinate-key match against ONE wide stats gather,
-    choose the valid voxel with the nearest mean."""
-    C = candidates_per_bucket
+    buckets by packed-coordinate-key match, choose the valid voxel with the
+    nearest mean.
+
+    One wide gather per octant cell (8 rows/query of PROBE_C embedded
+    candidates) — per-row overhead dominates TPU gathers, so this beats the
+    old 8*C narrow probe rows + a dependent per-winner stats gather ~2x at
+    scan sizes.
+    """
+    C = PROBE_C
     g = (q_xyz - vmap.origin) / vmap.leaf               # same grid as build()
     base = jnp.floor(g).astype(jnp.int32)               # (Q, 3)
     frac = g - base
@@ -396,35 +439,25 @@ def lookup(vmap: VoxelFeatureMap, q_xyz: Array, q_mask: Array,
     cells = base[:, None, :] + combos[None, :, :] * step[:, None, :]  # (Q, 8, 3)
 
     hb = _hash3(cells, vmap.table_size)                 # (Q, 8)
-    start = vmap.bucket_start[hb]
-    count = vmap.bucket_count[hb]
-    lane = jnp.arange(C, dtype=jnp.int32)
-    cand = start[..., None] + lane                      # (Q, 8, C)
-    ok = lane < count[..., None]
-    cand = jnp.where(ok, cand, vmap.capacity - 1)
-
     Qn = q_xyz.shape[0]
-    cand_f = cand.reshape(Qn, -1)
-    # probe phase: 16 B/candidate (key + mean; validity folded into the key)
-    rows = vmap.probe[cand_f]                           # (Q, 8C, 4)
-    keys = jax.lax.bitcast_convert_type(rows[..., 0], jnp.int32)
+    rows = vmap.probe[hb].reshape(Qn, 8, C, 8)          # ONE gather, 8 rows/q
+    keys = jax.lax.bitcast_convert_type(rows[..., 0], jnp.int32)  # (Q, 8, C)
     expect = _coord_key(cells)                          # (Q, 8)
     # out-of-domain query cells share the invalid-voxel sentinel; remap so
     # they can never match it
     expect = jnp.where(expect == jnp.int32(2**30), jnp.int32(-1), expect)
-    expect_f = jnp.repeat(expect, C, axis=1)            # (Q, 8C)
-    match = (keys == expect_f) & ok.reshape(Qn, -1)
+    match = keys == expect[..., None]                   # (Q, 8, C)
 
     means = rows[..., 1:4]
-    d2 = jnp.sum((means - q_xyz[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(match & q_mask[:, None], d2, jnp.inf)
-    best = jnp.argmin(d2, axis=1)
-    # winner phase: full 48 B stats row for Q rows only (not Q*8C)
-    best_slot = cand_f[jnp.arange(Qn), best]
-    win = vmap.stats[best_slot]                         # (Q, 12)
-    found = jnp.isfinite(d2[jnp.arange(Qn), best])
+    d2 = jnp.sum((means - q_xyz[:, None, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(match & q_mask[:, None, None], d2, jnp.inf)
+    d2f = d2.reshape(Qn, 8 * C)
+    best = jnp.argmin(d2f, axis=1)
+    win = jnp.take_along_axis(rows.reshape(Qn, 8 * C, 8),
+                              best[:, None, None], axis=1)[:, 0]  # (Q, 8)
+    found = jnp.isfinite(jnp.take_along_axis(d2f, best[:, None], axis=1)[:, 0])
     return VoxelLookup(
-        idx=best_slot, found=found,
+        idx=best.astype(jnp.int32), found=found,
         mean=win[:, 1:4], direction=win[:, 4:7], d=win[:, 7],
     )
 
