@@ -36,13 +36,11 @@ ERR_GATE_M = float(os.environ.get("MSST_BENCH_ERR_GATE", "0.10"))
 
 
 def _dicts(batch):
-    return [
-        dict(xyz=s["xyz"], ring=s["ring"], time_rel=s["time_rel"],
-             scan_start=s["scan_start"], imu_t=s["imu_t"],
-             imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
-             imu_rpy=s["imu_rpy"])
-        for s in batch
-    ]
+    # ranges/azimuth/col_time/elev select the range-image upload path
+    # (~3.9x fewer serialized transfer bytes; mapping.odometry_window_flat_ri)
+    keys = ("xyz", "ring", "time_rel", "scan_start", "imu_t", "imu_gyro",
+            "imu_acc", "imu_rpy", "ranges", "azimuth", "col_time", "elev")
+    return [{k: s[k] for k in keys} for s in batch]
 
 
 def _feed(lio, batch):

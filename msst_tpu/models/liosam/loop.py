@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import graph as graph_ops
-from ...ops import knn, registration, se3, voxel
+from ...ops import registration, se3, voxel
 from ...ops.pointcloud import Cloud
 from .params import LioParams
 from .state import LioState
@@ -103,16 +103,16 @@ def loop_closure_step(state: LioState, p: LioParams):
         hist_cloud = _submap(state, cand,
                              jnp.asarray(p.history_keyframe_search_num), p,
                              p.loop_submap_cap)
-        grid = knn.build(hist_cloud.xyz, hist_cloud.mask,
-                         cell_size=2.0, table_size=p.knn_table_size)
-        res = registration.icp_point2point(
-            cur_cloud.xyz, cur_cloud.mask, grid, hist_cloud.xyz,
+        # brute-force correspondence sweep: at ~10k x ~50k the hash-grid
+        # gather path costs ~100x more per iteration on TPU
+        # (knn.nearest1_brute); no grid build, exact NN
+        res = registration.icp_point2point_brute(
+            cur_cloud.xyz, cur_cloud.mask, hist_cloud.xyz, hist_cloud.mask,
             se3.Pose.identity(), max_iters=100,
             # setMaxCorrespondenceDistance(radius*2), :560; the epsilons of
             # :562-563 (setTransformationEpsilon / setEuclideanFitnessEpsilon)
             max_corr_dist=p.history_keyframe_search_radius * 2.0,
             transformation_eps=1e-6, rel_mse_eps=1e-6,
-            candidates_per_cell=p.knn_candidates,
         )
         good = res.converged & (res.fitness < p.history_keyframe_fitness_score)
         return good, res.pose, res.fitness

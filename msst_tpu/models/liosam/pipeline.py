@@ -341,6 +341,16 @@ class LioSam:
         # quantized_upload the buffer is int16 (points scaled, aux rows as
         # raw f32 bit halves) — half the serialized transfer bytes.
         quant = p.quantized_upload
+        # range-image upload: grid-structured sources (sim, spinning-lidar
+        # drivers) ship per-pixel ranges + per-column azimuth/time +
+        # per-ring elevation; xyz is reconstructed in-program
+        # (mapping.odometry_window_flat_ri) — ~3.9x fewer upload bytes, and
+        # transfers serialize against execution through the tunnel
+        ri = (quant and p.max_points >= p.n_scan * p.horizon_scan and all(
+            all(k in s for k in ("ranges", "azimuth", "col_time", "elev"))
+            for s in scans))
+        if ri:
+            return self._pack_window_ri(scans)
         if quant:
             flat_w = np.zeros((W, n5 + 2 * a8), np.int16)
         else:
@@ -367,9 +377,55 @@ class LioSam:
             times.append(float(s["scan_start"]))
         return flat_w, times, prev_count
 
+    def _pack_window_ri(self, scans):
+        """Range-image window pack (see mapping.odometry_window_flat_ri for
+        the layout and why)."""
+        from .mapping import RI_RANGE_SCALE, ri_flat_width
+        p = self.p
+        W = self.window
+        S, H = p.n_scan, p.horizon_scan
+        n_pix = S * H
+        flat_w = np.zeros((W, ri_flat_width(p)), np.int16)
+        times = []
+        prev_count = self._scan_count
+        for i, s in enumerate(scans):
+            kw = {k: v for k, v in s.items()
+                  if k in ("imu_t", "imu_gyro", "imu_acc", "imu_rpy",
+                           "gps_xyz", "gps_sigma")}
+            r = np.asarray(s["ranges"], np.float32).reshape(-1)[:n_pix]
+            o = 0
+            flat_w[i, :len(r)] = np.clip(
+                np.rint(r * RI_RANGE_SCALE), 0, 32767).astype(np.int16)
+            o = n_pix
+
+            def put_f32(a, width):
+                nonlocal o
+                buf = np.zeros(width, np.float32)
+                a = np.asarray(a, np.float32).reshape(-1)[:width]
+                buf[:len(a)] = a
+                flat_w[i, o:o + 2 * width] = buf.view(np.int16)
+                o += 2 * width
+
+            put_f32(s["azimuth"], H)
+            put_f32(s["col_time"], H)
+            put_f32(s["elev"], S)
+            aux_i = self._make_aux_np(n_pix, s["col_time"],
+                                      s["scan_start"], **kw)
+            flat_w[i, o:] = aux_i.reshape(-1).view(np.int16)
+            self._last_scan_time = float(s["scan_start"])
+            self._scan_count += 1
+            times.append(float(s["scan_start"]))
+        return flat_w, times, prev_count
+
     def _dispatch_window(self, flat_w, times, prev_count):
+        from .mapping import odometry_window_flat_ri, ri_flat_width
         quant = self.p.quantized_upload
-        window_fn = odometry_window_flat_q16 if quant else odometry_window_flat
+        if quant and flat_w.shape[1] == ri_flat_width(self.p):
+            window_fn = odometry_window_flat_ri
+        elif quant:
+            window_fn = odometry_window_flat_q16
+        else:
+            window_fn = odometry_window_flat
         new_state, outs = window_fn(self.state, jnp.asarray(flat_w), self.p)
         self.state = new_state
         self._pending.append((times, outs.pose_matrix))

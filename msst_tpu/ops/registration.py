@@ -440,12 +440,51 @@ def icp_point2point(
     ``icp.hasConverged() == false || icp.getFitnessScore() > ...``
     (mapOptmization.cpp:575-580)."""
 
+    def nn1(moved, max_sq):
+        return knn.query(tgt_grid, moved, src_mask, k=1,
+                         candidates_per_cell=candidates_per_cell,
+                         max_sqdist=max_sq)
+
+    return _icp_run(src_xyz, src_mask, nn1, tgt_xyz, init_pose, max_iters,
+                    max_corr_dist, fitness_max_dist, transformation_eps,
+                    rel_mse_eps, abs_mse_eps)
+
+
+def icp_point2point_brute(
+    src_xyz: Array, src_mask: Array,
+    tgt_xyz: Array, tgt_mask: Array,
+    init_pose: se3.Pose,
+    max_iters: int = 100,
+    max_corr_dist: float = 2.0,
+    fitness_max_dist: float = jnp.inf,
+    transformation_eps: float = 1e-6,
+    rel_mse_eps: float = 1e-5,
+    abs_mse_eps: float = 1e-12,
+    chunk: int = 8192,
+) -> IcpResult:
+    """:func:`icp_point2point` with the correspondence search done by an
+    exact chunked dense sweep (:func:`knn.nearest1_brute`) instead of the
+    hash grid — the TPU-shaped choice for loop-closure sizes, where the
+    27-cell gather path costs ~100x more per iteration (see nearest1_brute).
+    No grid build, exact NN, same PCL convergence semantics."""
+
+    def nn1(moved, max_sq):
+        res = knn.nearest1_brute(tgt_xyz, tgt_mask, moved, src_mask,
+                                 chunk=chunk)
+        return res._replace(valid=res.valid & (res.sqdist <= max_sq))
+
+    return _icp_run(src_xyz, src_mask, nn1, tgt_xyz, init_pose, max_iters,
+                    max_corr_dist, fitness_max_dist, transformation_eps,
+                    rel_mse_eps, abs_mse_eps)
+
+
+def _icp_run(src_xyz, src_mask, nn1, tgt_xyz, init_pose, max_iters,
+             max_corr_dist, fitness_max_dist, transformation_eps,
+             rel_mse_eps, abs_mse_eps) -> IcpResult:
     def body(state):
         pose, _, _, _, prev_mse, it, _ = state
         moved = pose.apply(src_xyz)
-        res = knn.query(tgt_grid, moved, src_mask, k=1,
-                        candidates_per_cell=candidates_per_cell,
-                        max_sqdist=max_corr_dist * max_corr_dist)
+        res = nn1(moved, max_corr_dist * max_corr_dist)
         ok = res.valid[:, 0] & src_mask
         w = ok.astype(src_xyz.dtype)
         nm = jnp.maximum(jnp.sum(w), 1.0)
@@ -481,9 +520,7 @@ def icp_point2point(
         cond, body, state)
 
     moved = pose.apply(src_xyz)
-    res = knn.query(tgt_grid, moved, src_mask, k=1,
-                    candidates_per_cell=candidates_per_cell,
-                    max_sqdist=min(fitness_max_dist**2, 1e18))
+    res = nn1(moved, min(fitness_max_dist**2, 1e18))
     ok = res.valid[:, 0] & src_mask
     nm = jnp.maximum(jnp.sum(ok), 1)
     fitness = jnp.sum(jnp.where(ok, res.sqdist[:, 0], 0.0)) / nm

@@ -133,7 +133,7 @@ def cross_session_align(states: LioState, p: LioParams, mesh: Mesh,
 
     def per_device(st: LioState):
         from ..ops import graph as graph_ops
-        from ..ops import knn, registration, se3, voxel
+        from ..ops import registration, se3, voxel
         from ..ops.pointcloud import Cloud
 
         kf = st.kf
@@ -190,13 +190,10 @@ def cross_session_align(states: LioState, p: LioParams, mesh: Mesh,
                 axis=0)
             src_mask = jnp.concatenate([g_cm[cand, bi], g_sm[cand, bi]])
 
-            grid = knn.build(sub.xyz, sub.mask, cell_size=2.0,
-                             table_size=p.knn_table_size)
-            res = registration.icp_point2point(
-                src_xyz, src_mask, grid, sub.xyz, se3.Pose.identity(),
+            res = registration.icp_point2point_brute(
+                src_xyz, src_mask, sub.xyz, sub.mask, se3.Pose.identity(),
                 max_iters=50,
-                max_corr_dist=p.history_keyframe_search_radius,
-                candidates_per_cell=p.knn_candidates)
+                max_corr_dist=p.history_keyframe_search_radius)
             good = cand_ok & res.converged & (
                 res.fitness < p.history_keyframe_fitness_score) & (
                 res.matched_frac > 0.3) & jnp.all(jnp.isfinite(res.pose.q)) \

@@ -58,7 +58,7 @@ def raycast_scan(world: World, pose: np.ndarray, n_scan=16, horizon=360,
                  max_range=80.0, noise=0.01, rng=None,
                  elev_limits=(-15.0, 15.0), spin_period=0.1,
                  traj=None, t0=0.0):
-    """One spinning-LiDAR scan from 4x4 pose.  Returns (xyz, ring, time_rel)
+    """One spinning-LiDAR scan from 4x4 pose.  Returns (xyz, ring, time_rel, ri)
     in the SENSOR frame with per-point time offsets over one revolution.
 
     traj: optional :class:`SimTrajectory` — when given, each azimuth column
@@ -113,7 +113,17 @@ def raycast_scan(world: World, pose: np.ndarray, n_scan=16, horizon=360,
     # deskew into a skew doubler (round-3 KITTI report regression).
     frac = (np.pi - A.reshape(-1)) / (2 * np.pi)
     time_rel = (frac * spin_period).astype(np.float32)
-    return xyz, ring, time_rel
+    # grid structure for the range-image upload path (the pipeline ships
+    # ranges + per-column azimuth/time + per-ring elevation and
+    # reconstructs xyz in-program — mapping.odometry_window_flat_ri)
+    ri = dict(
+        ranges=np.maximum(rng_hit, 0.0).astype(np.float32),
+        azimuth=az.astype(np.float32),
+        col_time=(((np.pi - az) / (2 * np.pi)) * spin_period).astype(
+            np.float32),
+        elev=elev.astype(np.float32),
+    )
+    return xyz, ring, time_rel, ri
 
 
 @dataclasses.dataclass
@@ -199,7 +209,7 @@ def make_dataset(world: World, traj: SimTrajectory, n_scans=40, scan_dt=0.1,
     for i in range(n_scans):
         t0 = i * scan_dt
         T = traj.pose(t0)
-        xyz, ring, time_rel = raycast_scan(
+        xyz, ring, time_rel, ri = raycast_scan(
             world, T, n_scan=n_scan, horizon=horizon, noise=noise, rng=rng,
             spin_period=scan_dt, traj=traj, t0=t0)
         sel = (ts >= t0 - 0.5) & (ts <= t0 + scan_dt + 0.05)
@@ -211,5 +221,6 @@ def make_dataset(world: World, traj: SimTrajectory, n_scans=40, scan_dt=0.1,
             imu_acc=acc_meas[sel].astype(np.float32),
             imu_rpy=rpys[min(k0, len(rpys) - 1)].astype(np.float32),
             gt_pose=T,
+            **ri,
         ))
     return scans

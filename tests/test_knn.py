@@ -86,3 +86,33 @@ def test_pallas_query_interpret_matches_xla():
     np.testing.assert_array_equal(
         np.where(np.asarray(a.valid), np.asarray(a.idx), -1),
         np.where(np.asarray(b.valid), np.asarray(b.idx), -1))
+
+
+def test_nearest1_brute_matches_ckdtree():
+    # exact chunked dense 1-NN (the loop-closure ICP correspondence search)
+    pts = RNG.uniform(-10, 10, size=(3000, 3)).astype(np.float32)
+    q = RNG.uniform(-9, 9, size=(500, 3)).astype(np.float32)
+    tmask = np.ones(3000, bool)
+    tmask[::7] = False
+    qmask = np.ones(500, bool)
+    qmask[::11] = False
+    res = knn.nearest1_brute(jnp.asarray(pts), jnp.asarray(tmask),
+                             jnp.asarray(q), jnp.asarray(qmask), chunk=1024)
+    d, i = cKDTree(pts[tmask]).query(q, k=1)
+    full_idx = np.flatnonzero(tmask)[i]
+    v = np.asarray(res.valid)[:, 0]
+    np.testing.assert_array_equal(v, qmask)
+    np.testing.assert_array_equal(np.asarray(res.idx)[qmask, 0],
+                                  full_idx[qmask])
+    # |q|^2 - 2 q.x + |x|^2 expansion: ~1e-4 relative error vs the direct
+    # (q - x)^2 form at coords ~10 (cancellation) — fine for NN selection
+    np.testing.assert_allclose(np.asarray(res.sqdist)[qmask, 0],
+                               (d[qmask] ** 2), rtol=2e-3, atol=1e-4)
+
+
+def test_nearest1_brute_all_masked_target():
+    pts = RNG.uniform(-1, 1, size=(64, 3)).astype(np.float32)
+    q = RNG.uniform(-1, 1, size=(16, 3)).astype(np.float32)
+    res = knn.nearest1_brute(jnp.asarray(pts), jnp.zeros(64, bool),
+                             jnp.asarray(q), jnp.ones(16, bool))
+    assert not np.asarray(res.valid).any()

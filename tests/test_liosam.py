@@ -185,7 +185,7 @@ def test_multi_lidar_fusion_into_lio():
         T_mount[:3, :3] = Rs.from_euler("z", np.radians(30.0)).as_matrix()
         T_mount[:3, 3] = [0.5, 0, 0]
         T2 = s["gt_pose"] @ T_mount
-        xyz2, ring2, trel2 = raycast_scan(world, T2, n_scan=16, horizon=360,
+        xyz2, ring2, trel2, _ = raycast_scan(world, T2, n_scan=16, horizon=360,
                                           noise=0.01, rng=rng)
         fused = fuser.fuse_arrays([s["xyz"], xyz2])
         m = np.asarray(fused.mask)
@@ -425,6 +425,35 @@ def test_quantized_upload_drift_bounded(dataset):
     a = run_windowed(False)
     b = run_windowed(True)
     assert np.abs(a - b).max() < 0.05, np.abs(a - b).max()
+
+
+def test_range_image_upload_matches_xyz_path(dataset):
+    """The range-image upload (ranges + per-column azimuth/time + per-ring
+    elevation, xyz reconstructed in-program) must track the quantized-xyz
+    window path: the only differences are the 4 mm range quantization vs
+    3.9 mm per-axis xyz quantization."""
+    from msst_tpu.models.liosam.mapping import ri_flat_width
+
+    def run_windowed(use_ri):
+        keys = ("xyz", "ring", "time_rel", "scan_start", "imu_t", "imu_gyro",
+                "imu_acc", "imu_rpy")
+        if use_ri:
+            keys += ("ranges", "azimuth", "col_time", "elev")
+        lio = LioSam(tiny_params(loop_closure_enabled=False), window=4)
+        for i in range(0, len(dataset), 4):
+            lio.process_window([{k: s[k] for k in keys}
+                                for s in dataset[i:i + 4]])
+        if use_ri:  # the RI program actually ran (buffer width is the tell)
+            w, _, _ = lio._pack_window(
+                [{k: dataset[0][k] for k in keys}])
+            assert w.shape[1] == ri_flat_width(lio.p)
+        return lio.trajectory.as_matrices()[:, :3, 3]
+
+    a = run_windowed(False)
+    b = run_windowed(True)
+    # mm-scale input quantization differences get amplified through the
+    # estimator at tiny caps; 25-scan divergence stays under a decimeter
+    assert np.abs(a - b).max() < 0.08, np.abs(a - b).max()
 
 
 def test_windowed_partial_window_pads(dataset):

@@ -127,7 +127,7 @@ def _two_session_overlap_states(p, offset=None):
         T = np.eye(4)
         T[:3, :3] = sst.Rotation.from_euler("z", yaw).as_matrix()
         T[:3, 3] = xyz_pos
-        xyz, ring, trel = sim.raycast_scan(world, T, n_scan=8, horizon=180,
+        xyz, ring, trel, _ = sim.raycast_scan(world, T, n_scan=8, horizon=180,
                                            noise=0.005, rng=rng)
         keep = np.isfinite(xyz).all(axis=1) & (np.linalg.norm(xyz, axis=1) < 60)
         pts = xyz[keep][:surf.shape[2]]

@@ -296,3 +296,26 @@ def test_scan_to_map_voxel_degenerate_single_plane():
     got = np.asarray(res.pose)
     assert abs(got[5] - 0.3) < 0.02
     assert abs(got[3]) < 1e-3 and abs(got[4]) < 1e-3
+
+
+def test_icp_brute_matches_grid_path():
+    # the brute-force correspondence sweep (loop-closure sizes) must agree
+    # with the hash-grid path on a well-posed alignment
+    pts = RNG.uniform(-5, 5, size=(1500, 3)).astype(np.float32)
+    R = Rs.from_euler("xyz", [0.03, 0.02, 0.1]).as_matrix().astype(np.float32)
+    t = np.array([0.3, -0.1, 0.2], np.float32)
+    tgt = pts @ R.T + t
+    tm = np.ones(len(tgt), bool)
+    tm[::13] = False
+    res = reg.icp_point2point_brute(
+        jnp.asarray(pts), jnp.ones(len(pts), bool),
+        jnp.asarray(tgt), jnp.asarray(tm),
+        se3.Pose.identity(), max_iters=50, max_corr_dist=2.0, chunk=512,
+    )
+    T = np.asarray(res.pose.to_matrix())
+    np.testing.assert_allclose(T[:3, :3], R, atol=1e-3)
+    np.testing.assert_allclose(T[:3, 3], t, atol=5e-3)
+    # 1/13 of targets are masked out, so those sources match ~0.9 m away
+    # neighbors and lift the mean-square fitness; the pose is what matters
+    assert float(res.fitness) < 0.2
+    assert bool(res.converged)
