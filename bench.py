@@ -67,7 +67,7 @@ def main():
     from msst_tpu.utils import sim
 
     n_scan, horizon = 16, 1800
-    window = 16
+    window = int(os.environ.get("MSST_BENCH_WINDOW", "16"))
 
     def params(loop):
         return LioParams(
@@ -122,11 +122,18 @@ def main():
     from msst_tpu.models.liosam.loop import loop_closure_step
     lio2.state, _ = loop_closure_step(lio2.state, lio2.p)
     lio2.flush()
+    # warm the loop-flag flush path too (the padded founds stack + its
+    # device_get are compiled programs; a False flag is semantically inert)
+    import jax.numpy as jnp
+    lio2._pending_loops.append(jnp.zeros((), bool))
+    lio2.flush()
+    lio2.timings.clear()
     t0 = time.perf_counter()
     for i in range(window, n_loop_scans, window):
         lio2.process_window_async(data_window(data2, i, window))
     lio2.flush()
     wall2 = time.perf_counter() - t0
+    loop_timings = {k: round(v, 3) for k, v in lio2.timings.items()}
     loops = int(lio2.state.n_loop)
     loop_scans_per_sec = (n_loop_scans - window) / wall2
     err2 = _traj_err(lio2, data2)
@@ -152,6 +159,7 @@ def main():
                 "loops_closed": loops,
                 "scans": n_loop_scans,
                 "max_traj_err_m": round(err2, 4),
+                "host_stage_s": loop_timings,
             },
         },
     }

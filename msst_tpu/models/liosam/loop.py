@@ -30,6 +30,7 @@ class LoopResult(NamedTuple):
     cur: Array        # () int32 current keyframe index
     cand: Array       # () int32 matched old keyframe index
     fitness: Array    # () ICP fitness
+    icp_iters: Array = jnp.asarray(0, jnp.int32)  # ICP iterations run
 
 
 def _submap(state: LioState, center: Array, half_width: Array, p: LioParams,
@@ -115,11 +116,12 @@ def loop_closure_step(state: LioState, p: LioParams):
             transformation_eps=1e-6, rel_mse_eps=1e-6,
         )
         good = res.converged & (res.fitness < p.history_keyframe_fitness_score)
-        return good, res.pose, res.fitness
+        return good, res.pose, res.fitness, res.iters
 
-    good, icp_pose, fitness = jax.lax.cond(
+    good, icp_pose, fitness, icp_iters = jax.lax.cond(
         candidate_ok, try_close,
-        lambda: (jnp.asarray(False), se3.Pose.identity(), jnp.asarray(jnp.inf)),
+        lambda: (jnp.asarray(False), se3.Pose.identity(), jnp.asarray(jnp.inf),
+                 jnp.asarray(0, jnp.int32)),
     )
 
     def add_loop(state):
@@ -168,4 +170,4 @@ def loop_closure_step(state: LioState, p: LioParams):
         )
 
     new_state = jax.lax.cond(good, add_loop, lambda s: s, state)
-    return new_state, LoopResult(good, cur, cand, fitness)
+    return new_state, LoopResult(good, cur, cand, fitness, icp_iters)

@@ -11,6 +11,7 @@ device.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Optional
 
 import jax
@@ -57,6 +58,33 @@ def _pad(a: np.ndarray, n: int, fill=0):
         return a[:n].copy()
     pad_width = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
     return np.pad(a, pad_width, constant_values=fill)
+
+
+def _vec6_to_mats_np(pose6: np.ndarray) -> np.ndarray:
+    """Host-side (N, 6) pose6 -> (N, 4, 4), R = Rz(yaw)Ry(pitch)Rx(roll)
+    (ops/se3 convention).  The host loop must NEVER stage this through jax:
+    a ``Pose.from_vec6(pose6[:n]).to_matrix()`` dispatch is shape-keyed on
+    the live keyframe count, so every call with a new count is a fresh
+    remote compile (~7 s each through the tunneled runtime — measured as
+    22 s of a 35 s loop-ON bench phase, docs/DESIGN.md round 3)."""
+    pose6 = np.asarray(pose6, np.float64)
+    r, p, y = pose6[:, 0], pose6[:, 1], pose6[:, 2]
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    m = np.zeros((len(pose6), 4, 4), np.float64)
+    m[:, 0, 0] = cy * cp
+    m[:, 0, 1] = cy * sp * sr - sy * cr
+    m[:, 0, 2] = cy * sp * cr + sy * sr
+    m[:, 1, 0] = sy * cp
+    m[:, 1, 1] = sy * sp * sr + cy * cr
+    m[:, 1, 2] = sy * sp * cr - cy * sr
+    m[:, 2, 0] = -sp
+    m[:, 2, 1] = cp * sr
+    m[:, 2, 2] = cp * cr
+    m[:, :3, 3] = pose6[:, 3:]
+    m[:, 3, 3] = 1.0
+    return m.astype(np.float32)
 
 
 @dataclasses.dataclass
@@ -138,6 +166,13 @@ class LioSam:
         self._pending_loops: list = []  # device `found` flags, read lazily
         self._executor = None          # lazy worker for process_window_async
         self._dispatch_future = None
+        # wall-time accounting per host-side stage (pack/dispatch/loop/
+        # flush/resync) — near-free perf_counter pairs; read via .timings
+        self.timings: dict = {}
+
+    def _acct(self, key, t0):
+        self.timings[key] = self.timings.get(key, 0.0) + (
+            time.perf_counter() - t0)
 
     # -- input assembly -----------------------------------------------------
 
@@ -288,7 +323,9 @@ class LioSam:
         through, reusing the same compiled program.  Returns the stacked
         StepOutput (leading axis = window slot; padded slots echo state)."""
         self._join_dispatch()  # never race an in-flight async window
+        t0 = time.perf_counter()
         flat_w, times, prev_count = self._pack_window(scans)
+        self._acct("pack", t0)
         outs = self._dispatch_window(flat_w, times, prev_count)
 
         if self._boot_scans is not None:
@@ -317,7 +354,9 @@ class LioSam:
         if self._executor is None:
             from concurrent.futures import ThreadPoolExecutor
             self._executor = ThreadPoolExecutor(max_workers=1)
+        t0 = time.perf_counter()
         flat_w, times, prev_count = self._pack_window(scans)
+        self._acct("pack", t0)
         fut = self._executor.submit(self._dispatch_window, flat_w, times,
                                     prev_count)
         self._dispatch_future = fut
@@ -426,7 +465,9 @@ class LioSam:
             window_fn = odometry_window_flat_q16
         else:
             window_fn = odometry_window_flat
+        t0 = time.perf_counter()
         new_state, outs = window_fn(self.state, jnp.asarray(flat_w), self.p)
+        self._acct("dispatch", t0)
         self.state = new_state
         self._pending.append((times, outs.pose_matrix))
 
@@ -487,7 +528,9 @@ class LioSam:
         loop actually closed."""
         if not self._loop_plausible():
             return
+        t0 = time.perf_counter()
         self.state, loop = loop_closure_step(self.state, self.p)
+        self._acct("loop_dispatch", t0)
         self._pending_loops.append(loop.found)
 
     def _loop_plausible(self) -> bool:
@@ -551,19 +594,38 @@ class LioSam:
                 meta.append(([t], 1))
         self._pending = []
         loops, self._pending_loops = self._pending_loops, []
-        founds_dev = jnp.stack(loops) if loops else None
+        # pad both device lists to a multiple of the canonical flush length:
+        # jnp.stack/concatenate are compiled programs keyed on the list
+        # LENGTH, so a terminal partial flush with a fresh length is a fresh
+        # remote compile (~7 s on axon).  Padding bounds the shape set to
+        # {C, 2C, ...}; padded rows are trimmed on host (mats via meta
+        # offsets, founds pad with False so .any() is unchanged).
+        C = max(1, -(-self._readback_interval // self.window))
+
+        def _pad_to_chunk(lst, fill):
+            want = C * -(-len(lst) // C)
+            return lst + [fill] * (want - len(lst))
+
+        founds_dev = None
+        if loops:
+            founds_dev = jnp.stack(_pad_to_chunk(
+                loops, jnp.zeros((), bool)))
         mats_dev = None
         if devs:
+            devs = _pad_to_chunk(devs, devs[-1])
             mats_dev = devs[0] if len(devs) == 1 else jnp.concatenate(devs)
+        t0 = time.perf_counter()
         if mats_dev is not None and founds_dev is not None:
             mats_all, founds = jax.device_get((mats_dev, founds_dev))
         elif mats_dev is not None:
             mats_all, founds = jax.device_get(mats_dev), np.zeros(0, bool)
         else:
             founds = jax.device_get(founds_dev)
+            self._acct("flush_get", t0)
             if founds.any():
                 self._resync_trajectory()
             return
+        self._acct("flush_get", t0)
         times: list = []
         rows: list = []
         off = 0
@@ -601,22 +663,28 @@ class LioSam:
         return self._trajectory
 
     def _resync_trajectory(self):
+        t0 = time.perf_counter()
         self._flush_pending()
         kf = self.state.kf
-        n = int(kf.count)
+        # ONE fixed-shape D2H, then pure-numpy math: any dynamic-n device
+        # slice or staged from_vec6 here is shape-keyed on the live keyframe
+        # count and recompiles per resync (see _vec6_to_mats_np)
+        pose6_all, time_all, n = jax.device_get(
+            (kf.pose6, kf.time, kf.count))
+        n = int(n)
         if n == 0 or not self._trajectory.times:
             return
-        poses6 = np.asarray(kf.pose6[:n])
+        poses6 = pose6_all[:n]
         # keyframe times are float32 session-relative offsets; trajectory
         # times are absolute float64 — compare in the absolute frame with a
         # nearest-match tolerance (exact float keys silently miss, ADVICE r1)
         epoch = self._epoch or 0.0
-        times = np.asarray(kf.time[:n], np.float64) + epoch
+        times = np.asarray(time_all[:n], np.float64) + epoch
         traj_t = np.asarray(self._trajectory.times, np.float64)
         order = np.argsort(traj_t, kind="stable")
         sorted_t = traj_t[order]
         hi = np.searchsorted(sorted_t, times)
-        mats = np.asarray(se3.Pose.from_vec6(jnp.asarray(poses6)).to_matrix())
+        mats = _vec6_to_mats_np(poses6)
         for t, m, j in zip(times, mats, hi):
             best, best_dt = -1, 0.02  # half a 10 Hz scan period
             for k in (j - 1, j):
@@ -624,6 +692,7 @@ class LioSam:
                     best, best_dt = int(order[k]), abs(sorted_t[k] - t)
             if best >= 0:
                 self._trajectory.poses[best] = m
+        self._acct("resync", t0)
 
     def flush(self):
         """Drain pending device results into the host trajectory."""
@@ -639,14 +708,22 @@ class LioSam:
         (optionally voxel-downsampled to `resolution`, like the service's
         resolution request field)."""
         kf = self.state.kf
-        n = int(kf.count)
-        out = {"trajectory": np.asarray(kf.pose6[:n]),
-               "times": np.asarray(kf.time[:n], np.float64) + (self._epoch or 0.0)}
-        poses = se3.Pose.from_vec6(jnp.asarray(np.asarray(kf.pose6[:n])))
-        corner = np.asarray(poses.apply(jnp.asarray(np.asarray(kf.corner_xyz[:n]))))
-        surf = np.asarray(poses.apply(jnp.asarray(np.asarray(kf.surf_xyz[:n]))))
-        out["corner_map"] = corner[np.asarray(kf.corner_mask[:n])]
-        out["surf_map"] = surf[np.asarray(kf.surf_mask[:n])]
+        # fixed-shape D2H + numpy transform: dynamic-n device slices here
+        # recompile per keyframe count (see _vec6_to_mats_np)
+        (pose6_all, time_all, cx_all, cm_all, sx_all, sm_all,
+         n) = jax.device_get((kf.pose6, kf.time, kf.corner_xyz,
+                              kf.corner_mask, kf.surf_xyz, kf.surf_mask,
+                              kf.count))
+        n = int(n)
+        out = {"trajectory": pose6_all[:n],
+               "times": np.asarray(time_all[:n], np.float64)
+               + (self._epoch or 0.0)}
+        mats = _vec6_to_mats_np(pose6_all[:n])
+        R, t = mats[:, :3, :3], mats[:, None, :3, 3]
+        corner = np.einsum("kij,kpj->kpi", R, cx_all[:n]) + t
+        surf = np.einsum("kij,kpj->kpi", R, sx_all[:n]) + t
+        out["corner_map"] = corner[cm_all[:n]]
+        out["surf_map"] = surf[sm_all[:n]]
         if directory is not None:
             import os
 

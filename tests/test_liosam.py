@@ -515,3 +515,24 @@ def test_gps_pose_covariance_gate(dataset):
     for s in dataset[15:20]:
         feed(s, t_shift=3.0)
     assert int(lio.state.n_gps) >= 1
+
+
+def test_vec6_to_mats_np_matches_se3_oracle():
+    """The host-side euler->matrix used by trajectory resync / save_map
+    (pipeline._vec6_to_mats_np) must match ops/se3's device convention
+    R = Rz(yaw)Ry(pitch)Rx(roll) exactly — it replaces a staged
+    from_vec6().to_matrix() whose dynamic keyframe-count shape key forced a
+    remote recompile per resync (docs/DESIGN.md round 3)."""
+    import jax.numpy as jnp
+
+    from msst_tpu.models.liosam.pipeline import _vec6_to_mats_np
+    from msst_tpu.ops import se3
+
+    rng = np.random.default_rng(5)
+    pose6 = np.concatenate([
+        rng.uniform(-np.pi, np.pi, (32, 3)),
+        rng.uniform(-50, 50, (32, 3)),
+    ], axis=1).astype(np.float32)
+    got = _vec6_to_mats_np(pose6)
+    want = np.asarray(se3.Pose.from_vec6(jnp.asarray(pose6)).to_matrix())
+    np.testing.assert_allclose(got, want, atol=1e-5)
