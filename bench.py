@@ -67,7 +67,11 @@ def main():
     from msst_tpu.utils import sim
 
     n_scan, horizon = 16, 1800
-    window = int(os.environ.get("MSST_BENCH_WINDOW", "16"))
+    # window=32 measured best end-to-end once the range-image upload cut
+    # transfer bytes 3.9x: the fixed ~60 ms/window dispatch+transfer
+    # overhead amortizes to ~1.9 ms/scan (W=16: 86.9 scans/s, W=32: 100.5;
+    # docs/DESIGN.md round 3)
+    window = int(os.environ.get("MSST_BENCH_WINDOW", "32"))
 
     def params(loop):
         return LioParams(

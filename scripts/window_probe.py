@@ -32,6 +32,7 @@ import numpy as np  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--windows", type=int, default=8)
+    ap.add_argument("--window-size", type=int, default=16)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -46,7 +47,7 @@ def main():
     from msst_tpu.models.liosam.pipeline import LioSam
     from msst_tpu.utils import sim
 
-    n_scan, horizon, window = 16, 1800, 16
+    n_scan, horizon, window = 16, 1800, args.window_size
     p = LioParams(n_scan=n_scan, horizon_scan=horizon,
                   max_points=n_scan * horizon + 64,
                   loop_closure_enabled=False, max_keyframes=256)
@@ -58,10 +59,11 @@ def main():
                             seed=7)
 
     def dicts(batch):
-        return [dict(xyz=s["xyz"], ring=s["ring"], time_rel=s["time_rel"],
-                     scan_start=s["scan_start"], imu_t=s["imu_t"],
-                     imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
-                     imu_rpy=s["imu_rpy"]) for s in batch]
+        # includes the grid fields so the pipeline auto-selects the
+        # range-image upload path, like bench.py (the production default)
+        keys = ("xyz", "ring", "time_rel", "scan_start", "imu_t", "imu_gyro",
+                "imu_acc", "imu_rpy", "ranges", "azimuth", "col_time", "elev")
+        return [{k: s[k] for k in keys} for s in batch]
 
     lio = LioSam(p, window=window)
     # warm-up: boot window (dynamic init) + one more window
@@ -89,8 +91,14 @@ def main():
     for i in range((N + 2) * window, (2 * N + 2) * window, window):
         flat_w, _, _ = lio._pack_window(dicts(data[i:i + window]))
         packed.append(flat_w)
-    window_fn = odometry_window_flat_q16 if p.quantized_upload \
-        else odometry_window_flat
+    from msst_tpu.models.liosam.mapping import (odometry_window_flat_ri,
+                                                ri_flat_width)
+    if p.quantized_upload and packed[0].shape[1] == ri_flat_width(p):
+        window_fn = odometry_window_flat_ri
+    elif p.quantized_upload:
+        window_fn = odometry_window_flat_q16
+    else:
+        window_fn = odometry_window_flat
 
     # --- phase UPLOAD: fresh upload per window, dispatches chained
     state = lio.state  # direct window_fn calls donate these buffers
