@@ -31,10 +31,30 @@ def read_velodyne_bin(path: str) -> np.ndarray:
     return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
 
 
-def rings_from_elevation(xyz: np.ndarray, n_rings: int = 64) -> np.ndarray:
-    """Assign ring ids by elevation-angle binning (HDL-64E: -24.8..2 deg)."""
+def rings_from_elevation(xyz: np.ndarray, n_rings: int = 64,
+                         elev_limits: tuple | None = None) -> np.ndarray:
+    """Assign ring ids by elevation-angle binning.
+
+    ``elev_limits`` (lo_deg, hi_deg) defaults to the HDL-64E span
+    (-24.9..2.0) only for 64-ring data; for other ring counts the span is
+    inferred from the data (robust percentiles) — a fixed HDL-64 span fed
+    with e.g. VLP-16 geometry (+-15 deg) collapses everything above +2 deg
+    into the top ring and leaves the bottom rings empty, scrambling the
+    range image's row structure."""
     el = np.degrees(np.arctan2(xyz[:, 2], np.linalg.norm(xyz[:, :2], axis=1)))
-    lo, hi = -24.9, 2.0
+    if elev_limits is None:
+        if n_rings == 64:
+            elev_limits = (-24.9, 2.0)
+        else:
+            fin = el[np.isfinite(el) & (np.linalg.norm(xyz[:, :2], axis=1)
+                                        > 1e-3)]
+            if len(fin) == 0:
+                elev_limits = (-24.9, 2.0)
+            else:
+                elev_limits = (float(np.percentile(fin, 0.2)),
+                               float(np.percentile(fin, 99.8)))
+    lo, hi = elev_limits
+    hi = max(hi, lo + 1e-3)
     ring = ((el - lo) / (hi - lo) * (n_rings - 1)).round().astype(np.int32)
     return np.clip(ring, 0, n_rings - 1)
 
@@ -85,6 +105,8 @@ class KittiRawDrive:
                               if os.path.exists(calib)
                               else ImuExtrinsics.identity())
         self.imu_extrinsics = imu_extrinsics
+        self._elev_limits = None  # pinned from the first scan: per-scan
+        # percentile inference would jitter the ring bin edges across scans
         self.velo_files = sorted(
             glob.glob(os.path.join(drive_dir, "velodyne_points", "data", "*.bin")))
         self.velo_times = _read_timestamps(
@@ -116,7 +138,20 @@ class KittiRawDrive:
     def scan(self, i: int):
         pts = read_velodyne_bin(self.velo_files[i])
         xyz = pts[:, :3]
-        ring = rings_from_elevation(xyz, self.n_rings)
+        if self._elev_limits is None:
+            if self.n_rings == 64:
+                self._elev_limits = (-24.9, 2.0)
+            else:
+                el = np.degrees(np.arctan2(
+                    xyz[:, 2], np.linalg.norm(xyz[:, :2], axis=1)))
+                fin = el[np.isfinite(el)
+                         & (np.linalg.norm(xyz[:, :2], axis=1) > 1e-3)]
+                self._elev_limits = (
+                    (float(np.percentile(fin, 0.2)),
+                     float(np.percentile(fin, 99.8)))
+                    if len(fin) else (-24.9, 2.0))
+        ring = rings_from_elevation(xyz, self.n_rings,
+                                    elev_limits=self._elev_limits)
         # per-point time from azimuth (KITTI scans are motion-compensated to
         # the scan center; this reconstructs approximate per-point times)
         az = np.arctan2(xyz[:, 1], xyz[:, 0])

@@ -44,6 +44,7 @@ def main():
     ap.add_argument("--horizon", type=int, default=1800)
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--traj", default="circle")
+    ap.add_argument("--radius", type=float, default=10.0)
     ap.add_argument("--speed", type=float, default=2.0)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--noise", type=float, default=0.01,
@@ -69,7 +70,8 @@ def main():
     )
 
     world = sim.World()
-    traj = sim.SimTrajectory(kind=args.traj, radius=10.0, speed=args.speed)
+    traj = sim.SimTrajectory(kind=args.traj, radius=args.radius,
+                             speed=args.speed)
     data = sim.make_dataset(world, traj, n_scans=args.scans, scan_dt=0.1,
                             n_scan=n_scan, horizon=horizon, seed=args.seed,
                             noise=args.noise,

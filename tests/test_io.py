@@ -556,6 +556,29 @@ def test_lio_kitti_cli_on_synthetic_drive(tmp_path):
     assert "ATE RMSE" in r.stdout
 
 
+def test_rings_from_elevation_infers_non_hdl64_span():
+    """16-ring data at VLP-16 geometry (+-15 deg) must spread over all 16
+    rings.  Regression: the fixed HDL-64E span (-24.9..2.0) collapsed
+    everything above +2 deg into the top ring (6.25% correct assignment),
+    scrambling the range image for every non-64-ring KITTI-layout drive."""
+    from msst_tpu.utils.io_kitti import rings_from_elevation
+
+    elev = np.linspace(-15, 15, 16)
+    az = np.linspace(-np.pi, np.pi, 360, endpoint=False)
+    E, A = np.meshgrid(np.radians(elev), az)
+    r = 10.0
+    xyz = np.stack([r * np.cos(E) * np.cos(A), r * np.cos(E) * np.sin(A),
+                    r * np.sin(E)], axis=-1).reshape(-1, 3).astype(np.float32)
+    true_ring = np.tile(np.arange(16), (360, 1)).reshape(-1)
+
+    ring = rings_from_elevation(xyz, 16)
+    assert (ring == true_ring).all()
+
+    # 64-ring data keeps the HDL-64E convention (real KITTI raw dumps)
+    ring64 = rings_from_elevation(xyz, 64)
+    assert ring64.min() >= 0 and ring64.max() <= 63
+
+
 # ---------------------------------------------------------------------------
 # transform node (fixed-frame re-projection)
 
