@@ -426,13 +426,20 @@ def _tiny_cloud():
                         mask=jnp.zeros((8,), bool))
 
 
-def _int_ratio(coarse: float, fine: float) -> bool:
-    """True when coarse/fine is an integer — then rows sorted by the fine
-    grid's packed key are already sorted by the coarse grid's (same origin),
-    and the coarse feature fit can skip its sort (ops/voxelmap.build
-    presorted)."""
+def _group_bits(coarse: float, fine: float) -> int | None:
+    """k when coarse/fine == 2^k (k >= 0 int), else None.  With a
+    power-of-two leaf ratio the moment tables use the HIERARCHICAL key
+    packing (voxelmap._pack_rel(group_bits=k)): rows sorted by that key are
+    grouped by coarse cell, so the coarse feature fit skips its sort
+    (ops/voxelmap.build presorted).  Non-power-of-two ratios fall back to
+    plain packing + a sorting fit — a plain fine key does NOT group coarse
+    cells (it fragments them into duplicate voxel entries; see _pack_rel)."""
     r = coarse / fine
-    return abs(r - round(r)) < 1e-6 and r >= 1.0
+    if r < 1.0 or abs(r - round(r)) > 1e-6:
+        return None
+    r = int(round(r))
+    k = r.bit_length() - 1
+    return k if (1 << k) == r else None
 
 
 def _features_from_moments(corner_mom, surf_mom, anchor: Array, p: LioParams):
@@ -445,10 +452,13 @@ def _features_from_moments(corner_mom, surf_mom, anchor: Array, p: LioParams):
     from ...ops import voxelmap
     from .state import LocalMap
 
+    ck, sk = _moment_group_bits(p)
     cx, cm = voxelmap.moments_centroids(corner_mom,
-                                        p.mapping_corner_leaf_size, anchor)
+                                        p.mapping_corner_leaf_size, anchor,
+                                        group_bits=ck or 0)
     sx, sm = voxelmap.moments_centroids(surf_mom,
-                                        p.mapping_surf_leaf_size, anchor)
+                                        p.mapping_surf_leaf_size, anchor,
+                                        group_bits=sk or 0)
     tiny = _tiny_cloud()
 
     def grid(_cap):
@@ -462,16 +472,22 @@ def _features_from_moments(corner_mom, surf_mom, anchor: Array, p: LioParams):
         corner_vox=voxelmap.build(
             cx, cm, p.vox_corner_leaf, p.vox_corner_cap,
             "line", table_size=2 * p.vox_corner_cap, origin=anchor,
-            presorted=_int_ratio(p.vox_corner_leaf,
-                                 p.mapping_corner_leaf_size)),
+            presorted=ck is not None),
         surf_vox=voxelmap.build(
             sx, sm, p.vox_surf_leaf, p.vox_surf_cap,
             "plane", table_size=2 * p.vox_surf_cap, origin=anchor,
-            presorted=_int_ratio(p.vox_surf_leaf,
-                                 p.mapping_surf_leaf_size)),
+            presorted=sk is not None),
         corner_mom=corner_mom, surf_mom=surf_mom, anchor=anchor,
         valid=jnp.asarray(True),
     )
+
+
+def _moment_group_bits(p: LioParams) -> tuple[int | None, int | None]:
+    """(corner_k, surf_k): hierarchical-key group bits for the two moment
+    tables (None = non-power-of-two leaf ratio, plain packing + sorting
+    fit).  Every producer/consumer of a moment table must agree on these."""
+    return (_group_bits(p.vox_corner_leaf, p.mapping_corner_leaf_size),
+            _group_bits(p.vox_surf_leaf, p.mapping_surf_leaf_size))
 
 
 def _rebake_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
@@ -485,14 +501,15 @@ def _rebake_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
     from ...ops import voxelmap
 
     K = kf.pose6.shape[0]
+    ck, sk = _moment_group_bits(p)
     sel_idx, sel_ok = _select_nearby(kf, position, scan_time, p)
     corner_flat, surf_flat = _gather_selected(kf, sel_idx, sel_ok)
     corner_mom = voxelmap.points_to_moments(
         corner_flat.xyz, corner_flat.mask, p.mapping_corner_leaf_size,
-        position, p.map_corner_cap)
+        position, p.map_corner_cap, group_bits=ck or 0)
     surf_mom = voxelmap.points_to_moments(
         surf_flat.xyz, surf_flat.mask, p.mapping_surf_leaf_size,
-        position, p.map_surf_cap)
+        position, p.map_surf_cap, group_bits=sk or 0)
     lm = _features_from_moments(corner_mom, surf_mom, position, p)
     baked = jnp.zeros((K,), bool).at[sel_idx].set(sel_ok)
     return lm, kf.pose6, baked
@@ -507,12 +524,15 @@ def _kf_moments(kf: KeyframeStore, slot: Array, pose6: Array, anchor: Array,
     from ...ops import voxelmap
 
     pose = se3.Pose.from_vec6(pose6)
+    ck, sk = _moment_group_bits(p)
     cmom = voxelmap.points_to_moments(
         pose.apply(kf.corner_xyz[slot]), kf.corner_mask[slot],
-        p.mapping_corner_leaf_size, anchor, p.kf_corner_cap)
+        p.mapping_corner_leaf_size, anchor, p.kf_corner_cap,
+        group_bits=ck or 0)
     smom = voxelmap.points_to_moments(
         pose.apply(kf.surf_xyz[slot]), kf.surf_mask[slot],
-        p.mapping_surf_leaf_size, anchor, p.kf_surf_cap)
+        p.mapping_surf_leaf_size, anchor, p.kf_surf_cap,
+        group_bits=sk or 0)
     return cmom, smom
 
 
@@ -566,11 +586,14 @@ def _evict_oldest_keyframe(state: LioState, p: LioParams) -> LioState:
         smom = voxelmap.scale_moments(smom, jnp.where(sub, -1.0, 0.0))
         cmom = cmom._replace(key=jnp.where(sub, cmom.key, jnp.int32(2**30)))
         smom = smom._replace(key=jnp.where(sub, smom.key, jnp.int32(2**30)))
+        ck, sk = _moment_group_bits(p)
         state = state._replace(local_map=lm._replace(
             corner_mom=voxelmap.merge_moments(lm.corner_mom, cmom,
-                                              p.map_corner_cap),
+                                              p.map_corner_cap,
+                                              group_bits=ck or 0),
             surf_mom=voxelmap.merge_moments(lm.surf_mom, smom,
-                                            p.map_surf_cap),
+                                            p.map_surf_cap,
+                                            group_bits=sk or 0),
         ))
 
     # --- Schur complement H11' = H11 - H10 H00^-1 H01 over whitened blocks
@@ -774,14 +797,15 @@ def _insert_keyframe(state: LioState, pose6: Array, scan_time: Array,
         def do_inc(_):
             cmom, smom = _kf_moments(kf, slot, kf.pose6[slot], lm.anchor, p)
             trim_r = p.surrounding_keyframe_search_radius
+            ck, sk = _moment_group_bits(p)
             cmerged = voxelmap.merge_moments(
                 lm.corner_mom, cmom, p.map_corner_cap, trim_center=pos,
                 trim_radius=trim_r, leaf=p.mapping_corner_leaf_size,
-                origin=lm.anchor)
+                origin=lm.anchor, group_bits=ck or 0)
             smerged = voxelmap.merge_moments(
                 lm.surf_mom, smom, p.map_surf_cap, trim_center=pos,
                 trim_radius=trim_r, leaf=p.mapping_surf_leaf_size,
-                origin=lm.anchor)
+                origin=lm.anchor, group_bits=sk or 0)
             lmap = _features_from_moments(cmerged, smerged, lm.anchor, p)
             return (lmap, kf.baked_pose6.at[slot].set(kf.pose6[slot]),
                     kf.baked.at[slot].set(True))

@@ -125,8 +125,13 @@ class LioParams:
     # ship — see docs/DESIGN.md "Pallas status".
     use_pallas: str = "off"          # "auto" | "on" | "off"
     degeneracy_threshold: float = 100.0  # JtJ eigenvalue gate (LMOptimization :1244); scales with matched-point count
-    vox_corner_leaf: float = 1.0
-    vox_surf_leaf: float = 1.0
+    # feature-voxel leaves: POWER-OF-TWO multiples of the mapping leaf sizes
+    # (0.8 = 4 x 0.2 corner / 2 x 0.4 surf) so the moment tables use the
+    # hierarchical key packing and both feature fits skip their input sort
+    # (mapping._group_bits; non-power-of-two ratios still work, with a
+    # sorting fit)
+    vox_corner_leaf: float = 0.8
+    vox_surf_leaf: float = 0.8
     vox_corner_cap: int = 8192
     vox_surf_cap: int = 16384
 

@@ -90,6 +90,52 @@ def _coord_key(c: Array) -> Array:
     return jnp.where(ok, key, jnp.int32(2**30))
 
 
+def _pack_rel(rel: Array, group_bits: int = 0) -> Array:
+    """Pack +512-shifted cell coords ``rel`` (each in [0, 1024)) into one
+    int32 sort key.
+
+    group_bits = 0: plain 10/10/10 lexicographic packing.
+    group_bits = k > 0: HIERARCHICAL packing for moment tables that feed a
+    coarser feature grid at leaf ratio 2^k — the coarse-cell coords
+    (``rel >> k``) occupy the HIGH bits and the sub-cell coords the low
+    bits, so rows sorted by this key are grouped by coarse cell and
+    :func:`build` can run ``presorted`` on them.  Plain lexicographic fine
+    keys do NOT have that property: floor-division is monotone per axis but
+    not jointly — e.g. fine cells (0,0,2) < (0,1,0) at ratio 2 map to
+    coarse (0,0,1) > (0,0,0), splitting one coarse cell into multiple runs
+    (capacity-saturating duplicate voxel entries; round-3 regression
+    ``test_presorted_fit_no_duplicates``).
+    """
+    if group_bits == 0:
+        return (rel[..., 0] << 20) | (rel[..., 1] << 10) | rel[..., 2]
+    k = group_bits
+    b = 10 - k
+    km = (1 << k) - 1
+    hi = rel >> k
+    lo = rel & km
+    coarse = (((hi[..., 0] << b) | hi[..., 1]) << b) | hi[..., 2]
+    sub = (((lo[..., 0] << k) | lo[..., 1]) << k) | lo[..., 2]
+    return (coarse << (3 * k)) | sub
+
+
+def _unpack_rel(key: Array, group_bits: int = 0) -> Array:
+    """Inverse of :func:`_pack_rel` (valid keys only)."""
+    if group_bits == 0:
+        return jnp.stack([(key >> 20) & 1023, (key >> 10) & 1023, key & 1023],
+                         axis=-1)
+    k = group_bits
+    b = 10 - k
+    bm = (1 << b) - 1
+    km = (1 << k) - 1
+    coarse = key >> (3 * k)
+    sub = key & ((1 << (3 * k)) - 1)
+    hi = jnp.stack([(coarse >> (2 * b)) & bm, (coarse >> b) & bm,
+                    coarse & bm], axis=-1)
+    lo = jnp.stack([(sub >> (2 * k)) & km, (sub >> k) & km, sub & km],
+                   axis=-1)
+    return (hi << k) | lo
+
+
 def build(xyz: Array, mask: Array, leaf: float, capacity: int,
           kind: str, table_size: int = 8192, min_points: int = 3,
           line_ratio: float = 3.0, plane_thickness: float = 0.1,
@@ -106,12 +152,15 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
     maps always fit).  The SAME origin-relative grid is used for the sort,
     the segmentation, and the coord keys (a mixed absolute/relative grid
     fragments each cell into duplicate entries — ADVICE r1).
-    presorted: (origin path only) the input rows are already sorted by a
-    FINER voxel grid's packed key on the SAME origin with `leaf` an integer
-    multiple of the fine leaf, invalid rows last — then they are sorted by
-    this grid's key too (floor(c/m) is per-axis monotone and constant within
-    a fine cell, so the fine lexicographic order is preserved exactly) and
-    the sort is skipped.  This is the moment-table fast path: fine-cell
+    presorted: (origin path only) the input rows are already GROUPED by this
+    grid's cells — each cell's rows contiguous, invalid rows last — so the
+    sort is skipped.  The only packing with that property for a finer input
+    grid is the HIERARCHICAL key (``_pack_rel(group_bits=k)`` with
+    ``leaf = 2^k * fine_leaf``, same origin): its high bits ARE this grid's
+    cell coords.  A plain lexicographic fine key does NOT qualify — floor
+    division is monotone per axis but not jointly, so one coarse cell
+    splits into many runs (duplicate capacity-eating voxel entries; see
+    ``_pack_rel``).  This is the moment-table fast path: fine-cell
     centroids come straight out of a sorted VoxelMoments table.
     """
     leaf_f = jnp.asarray(leaf, jnp.float32)
@@ -295,25 +344,28 @@ def empty_moments(capacity: int) -> VoxelMoments:
     )
 
 
-def _decode_center(key: Array, leaf: Array, origin: Array) -> Array:
+def _decode_center(key: Array, leaf: Array, origin: Array,
+                   group_bits: int = 0) -> Array:
     """Cell centers from packed keys (inverse of the +512-shifted packing)."""
-    c = jnp.stack([(key >> 20) & 1023, (key >> 10) & 1023, key & 1023],
-                  axis=-1)
+    c = _unpack_rel(key, group_bits)
     return origin + (c.astype(jnp.float32) - 512 + 0.5) * leaf
 
 
 def points_to_moments(xyz: Array, mask: Array, leaf: float | Array,
-                      origin: Array, capacity: int) -> VoxelMoments:
+                      origin: Array, capacity: int,
+                      group_bits: int = 0) -> VoxelMoments:
     """Summarize a point cloud into sorted per-cell centroid moments.
 
-    Same grid/packing as :func:`build`'s origin path (points outside the
-    +-512-cell domain around `origin` are dropped)."""
+    Same grid as :func:`build`'s origin path (points outside the +-512-cell
+    domain around `origin` are dropped).  ``group_bits`` selects the key
+    packing (see :func:`_pack_rel`): pass k when this table feeds a feature
+    fit at leaf ``2^k * leaf`` so the fit can run ``presorted``; every table
+    merged with this one must use the same packing."""
     leaf_f = jnp.asarray(leaf, jnp.float32)
     origin_f = jnp.asarray(origin, jnp.float32)
     rel = jnp.floor((xyz - origin_f) / leaf_f).astype(jnp.int32) + 512
     ok = mask & jnp.all((rel >= 0) & (rel < 1024), axis=1)
-    key = (rel[:, 0] << 20) | (rel[:, 1] << 10) | rel[:, 2]
-    key = jnp.where(ok, key, _BIG)
+    key = jnp.where(ok, _pack_rel(rel, group_bits), _BIG)
     key_s, x0, x1, x2 = jax.lax.sort(
         (key, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1)
     xyz_s = jnp.stack([x0, x1, x2], axis=1)
@@ -324,7 +376,8 @@ def points_to_moments(xyz: Array, mask: Array, leaf: float | Array,
     seg = jnp.where(valid_s, seg, capacity)
     bounds = segments.segment_boundaries(seg, capacity)
     w = valid_s.astype(jnp.float32)
-    r_s = (xyz_s - _decode_center(key_s, leaf_f, origin_f)) * w[:, None]
+    r_s = (xyz_s - _decode_center(key_s, leaf_f, origin_f, group_bits)) \
+        * w[:, None]
     sums = segments.sorted_segment_sum(
         jnp.concatenate([r_s, w[:, None]], axis=1), seg, capacity,
         boundaries=bounds, compensated=False)
@@ -348,7 +401,8 @@ def merge_moments(a: VoxelMoments, b: VoxelMoments, capacity: int,
                   trim_center: Array | None = None,
                   trim_radius: float | Array | None = None,
                   leaf: float | Array | None = None,
-                  origin: Array | None = None) -> VoxelMoments:
+                  origin: Array | None = None,
+                  group_bits: int = 0) -> VoxelMoments:
     """Merge two sorted moment tables: cells with equal keys sum; cells whose
     count drops below `min_cnt` (evicted away) die; with `trim_center`/
     `trim_radius`, cells farther than the radius die too (the reference's
@@ -359,16 +413,34 @@ def merge_moments(a: VoxelMoments, b: VoxelMoments, capacity: int,
     sums in f32); position-sum residue is ~ULP of the cell sums.  If more
     than `capacity` cells survive, the highest cell keys are dropped
     (trimming makes this rare; the drop is logged nowhere — size caps so
-    the overflow policy stays deterministic)."""
-    key = jnp.concatenate([a.key, b.key])
-    vals = jnp.concatenate([
-        jnp.concatenate([a.rsum, a.cnt[:, None]], axis=1),
-        jnp.concatenate([b.rsum, b.cnt[:, None]], axis=1),
-    ])
-    n_tot = key.shape[0]
-    key_s, v0, v1, v2, v3 = jax.lax.sort(
-        (key, vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]), num_keys=1)
-    vals_s = jnp.stack([v0, v1, v2, v3], axis=1)
+    the overflow policy stays deterministic).
+
+    Both inputs are already sorted, so no sort runs here: the merged order
+    comes from ONE binary search of the (usually small) ``b`` keys into
+    ``a`` plus rank scatters, and the final compaction is a
+    cumsum-of-survivors scatter.  The old concat-and-bitonic-sort form paid
+    two 5-operand O(n log^2 n) sort networks per merge — the dominant cost
+    of the per-keyframe map update at bench shapes.  ``jnp.searchsorted``'s
+    dependent-gather chain only runs b-sized (segments.py measured the
+    large-side direction at ~13 ms for 49k queries on v5e — avoided)."""
+    na, nb = a.key.shape[0], b.key.shape[0]
+    n_tot = na + nb
+    avals = jnp.concatenate([a.rsum, a.cnt[:, None]], axis=1)
+    bvals = jnp.concatenate([b.rsum, b.cnt[:, None]], axis=1)
+    # stable-merge ranks: b_j goes after equal a keys (side="right"), a_i
+    # fills the remaining slots in order (free-slot rank inversion)
+    pos_b = (jnp.arange(nb, dtype=jnp.int32)
+             + jnp.searchsorted(a.key, b.key, side="right"
+                                ).astype(jnp.int32))
+    occ_b = jnp.zeros((n_tot,), bool).at[pos_b].set(True)
+    free_rank = jnp.cumsum((~occ_b).astype(jnp.int32)) - 1
+    pos_of_a = jnp.zeros((na,), jnp.int32).at[
+        jnp.where(~occ_b, free_rank, na)].set(
+        jnp.arange(n_tot, dtype=jnp.int32), mode="drop")
+    key_s = jnp.zeros((n_tot,), jnp.int32
+                      ).at[pos_of_a].set(a.key).at[pos_b].set(b.key)
+    vals_s = jnp.zeros((n_tot, 4), avals.dtype
+                       ).at[pos_of_a].set(avals).at[pos_b].set(bvals)
     valid_s = key_s < _BIG
     new_cell = (key_s != jnp.roll(key_s, 1)).at[0].set(True) & valid_s
     seg = jnp.cumsum(new_cell.astype(jnp.int32)) - 1
@@ -380,29 +452,32 @@ def merge_moments(a: VoxelMoments, b: VoxelMoments, capacity: int,
     alive = (bounds[0] < bounds[1]) & (sums[:, 3] >= min_cnt)
     if trim_center is not None:
         center = _decode_center(key_v, jnp.asarray(leaf, jnp.float32),
-                                jnp.asarray(origin, jnp.float32))
+                                jnp.asarray(origin, jnp.float32), group_bits)
         d2 = jnp.sum((center - trim_center) ** 2, axis=1)
         alive = alive & (d2 <= jnp.asarray(trim_radius, jnp.float32) ** 2)
-    key_v = jnp.where(alive, key_v, _BIG)
-    k2, r0, r1, r2, c2 = jax.lax.sort(
-        (key_v, sums[:, 0], sums[:, 1], sums[:, 2], sums[:, 3]), num_keys=1)
-    dead = k2[:capacity] >= _BIG
+    # compact survivors to the front (they are in key order, so rank order
+    # keeps the table sorted and overflow drops the highest keys)
+    rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    dest = jnp.where(alive & (rank < capacity), rank, capacity)
+    out_key = jnp.full((capacity + 1,), _BIG, jnp.int32
+                       ).at[dest].set(jnp.where(alive, key_v, _BIG))
+    out_vals = jnp.zeros((capacity + 1, 4), sums.dtype
+                         ).at[dest].set(jnp.where(alive[:, None], sums, 0.0))
     return VoxelMoments(
-        key=k2[:capacity],
-        rsum=jnp.where(dead[:, None], 0.0,
-                       jnp.stack([r0, r1, r2], axis=1)[:capacity]),
-        cnt=jnp.where(dead, 0.0, c2[:capacity]),
+        key=out_key[:capacity],
+        rsum=out_vals[:capacity, :3],
+        cnt=out_vals[:capacity, 3],
     )
 
 
-def moments_centroids(m: VoxelMoments, leaf: float | Array, origin: Array
-                      ) -> tuple[Array, Array]:
+def moments_centroids(m: VoxelMoments, leaf: float | Array, origin: Array,
+                      group_bits: int = 0) -> tuple[Array, Array]:
     """(xyz, mask): one centroid pseudo-point per occupied cell — the input
     the coarse feature fit (:func:`build`) consumes, identical to the
     reference's centroid-downsampled local map."""
     mask = m.key < _BIG
     center = _decode_center(m.key, jnp.asarray(leaf, jnp.float32),
-                            jnp.asarray(origin, jnp.float32))
+                            jnp.asarray(origin, jnp.float32), group_bits)
     xyz = center + m.rsum / jnp.maximum(m.cnt, 1.0)[:, None]
     return jnp.where(mask[:, None], xyz, 0.0), mask
 

@@ -51,6 +51,7 @@ def main():
     from msst_tpu.models.liosam import mapping
     from msst_tpu.models.liosam.frontend import run_frontend
     from msst_tpu.models.liosam.mapping import (_features_from_moments,
+                                                _moment_group_bits,
                                                 unpack_step_input)
     from msst_tpu.models.liosam.params import LioParams
     from msst_tpu.models.liosam.pipeline import LioSam
@@ -120,10 +121,13 @@ def main():
     smask = jnp.concatenate([f[3] for f in feats])
     @jax.jit
     def _build_map(cxyz, cmask, sxyz, smask):
+        ck, sk = _moment_group_bits(p)
         cm = voxelmap.points_to_moments(
-            cxyz, cmask, p.mapping_corner_leaf_size, anchor, p.map_corner_cap)
+            cxyz, cmask, p.mapping_corner_leaf_size, anchor,
+            p.map_corner_cap, group_bits=ck or 0)
         sm = voxelmap.points_to_moments(
-            sxyz, smask, p.mapping_surf_leaf_size, anchor, p.map_surf_cap)
+            sxyz, smask, p.mapping_surf_leaf_size, anchor,
+            p.map_surf_cap, group_bits=sk or 0)
         return cm, sm, _features_from_moments(cm, sm, anchor, p)
 
     corner_mom, surf_mom, lm = _build_map(cxyz, cmask, sxyz, smask)
@@ -177,19 +181,20 @@ def main():
         kcx, kcm, ksx, ksm, cm0_k, cm0_r, cm0_c, sm0_k, sm0_r, sm0_c = d
         cm0 = voxelmap.VoxelMoments(cm0_k, cm0_r, cm0_c)
         sm0 = voxelmap.VoxelMoments(sm0_k, sm0_r, sm0_c)
+        ck, sk = _moment_group_bits(p)
         cmom = voxelmap.points_to_moments(
             kcx + c * EPS, kcm, p.mapping_corner_leaf_size, anchor,
-            p.kf_corner_cap)
+            p.kf_corner_cap, group_bits=ck or 0)
         smom = voxelmap.points_to_moments(
             ksx + c * EPS, ksm, p.mapping_surf_leaf_size, anchor,
-            p.kf_surf_cap)
+            p.kf_surf_cap, group_bits=sk or 0)
         r = p.surrounding_keyframe_search_radius
         cmg = voxelmap.merge_moments(
             cm0, cmom, p.map_corner_cap, trim_center=anchor, trim_radius=r,
-            leaf=p.mapping_corner_leaf_size, origin=anchor)
+            leaf=p.mapping_corner_leaf_size, origin=anchor, group_bits=ck or 0)
         smg = voxelmap.merge_moments(
             sm0, smom, p.map_surf_cap, trim_center=anchor, trim_radius=r,
-            leaf=p.mapping_surf_leaf_size, origin=anchor)
+            leaf=p.mapping_surf_leaf_size, origin=anchor, group_bits=sk or 0)
         lmap = _features_from_moments(cmg, smg, anchor, p)
         return (jnp.sum(lmap.corner_vox.mean) + jnp.sum(lmap.surf_vox.mean)
                 ) * EPS

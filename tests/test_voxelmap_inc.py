@@ -190,3 +190,119 @@ def test_merge_capacity_truncates_deterministically():
     # lowest keys survive (documented deterministic policy)
     np.testing.assert_array_equal(
         key, np.sort(np.asarray(A.key)[np.asarray(A.key) < 2**30])[:cap])
+
+
+# ---------------------------------------------------------------------------
+# hierarchical key packing (group_bits) + the presorted fit fast path
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("k", [0, 1, 2, 3])
+def test_pack_rel_roundtrip_and_sentinel_headroom(k):
+    rng = np.random.default_rng(11)
+    rel = rng.integers(0, 1024, size=(2000, 3)).astype(np.int32)
+    key = voxelmap._pack_rel(jnp.asarray(rel), k)
+    back = voxelmap._unpack_rel(key, k)
+    np.testing.assert_array_equal(np.asarray(back), rel)
+    assert int(jnp.max(key)) < 2**30  # sentinel stays the max
+
+
+def test_hierarchical_key_groups_coarse_cells():
+    """Sorting by the hierarchical fine key groups coarse cells contiguously
+    (the property the presorted fit needs); the plain fine key does NOT —
+    e.g. fine (0,0,2) < (0,1,0) at ratio 2 maps to coarse (0,0,1) > (0,0,0)."""
+    rng = np.random.default_rng(12)
+    rel = rng.integers(0, 64, size=(4000, 3)).astype(np.int32)
+    for k in (1, 2):
+        key = np.asarray(voxelmap._pack_rel(jnp.asarray(rel), k))
+        order = np.argsort(key, kind="stable")
+        coarse = rel[order] >> k
+        runs = np.any(coarse != np.roll(coarse, 1, axis=0), axis=1)
+        runs[0] = True
+        n_runs = int(runs.sum())
+        n_cells = len(np.unique([tuple(c) for c in coarse], axis=0))
+        assert n_runs == n_cells  # each coarse cell = exactly one run
+    # the plain packing fragments (regression for the round-3 bug)
+    key0 = np.asarray(voxelmap._pack_rel(jnp.asarray(rel), 0))
+    order = np.argsort(key0, kind="stable")
+    coarse = rel[order] >> 1
+    runs = np.any(coarse != np.roll(coarse, 1, axis=0), axis=1)
+    runs[0] = True
+    n_cells = len(np.unique([tuple(c) for c in coarse], axis=0))
+    assert int(runs.sum()) > n_cells
+
+
+@pytest.mark.parametrize("kind,ratio_k", [("plane", 1), ("plane", 2),
+                                          ("line", 2)])
+def test_presorted_fit_no_duplicates(kind, ratio_k):
+    """build(presorted=True) on a hierarchical moment table == the sorting
+    fit: same cells (no duplicate fragments), same Gaussians.  Round-3
+    regression: plain-packed moment tables fragmented each coarse cell into
+    many runs, saturating capacity with duplicates and dropping coverage."""
+    rng = np.random.default_rng(13)
+    pts = rng.uniform(-6, 6, (6000, 3)).astype(np.float32)
+    mask = np.ones(len(pts), bool)
+    origin = jnp.asarray(ORIGIN)
+    fine = 0.2
+    coarse = fine * (1 << ratio_k)
+
+    mom = voxelmap.points_to_moments(jnp.asarray(pts), jnp.asarray(mask),
+                                     fine, origin, 8192, group_bits=ratio_k)
+    cx, cm = voxelmap.moments_centroids(mom, fine, origin,
+                                        group_bits=ratio_k)
+    pre = voxelmap.build(cx, cm, coarse, 4096, kind, table_size=8192,
+                         origin=origin, presorted=True)
+    ref = voxelmap.build(cx, cm, coarse, 4096, kind, table_size=8192,
+                         origin=origin, presorted=False)
+
+    def cells(vm):
+        keys = np.asarray(voxelmap._coord_key(vm.coords))[np.asarray(vm.mask)]
+        assert len(np.unique(keys)) == len(keys)  # no duplicates
+        stats = {}
+        m = np.asarray(vm.mask)
+        for i in np.flatnonzero(m):
+            stats[int(np.asarray(voxelmap._coord_key(vm.coords))[i])] = (
+                np.asarray(vm.mean[i]), np.asarray(vm.direction[i]),
+                float(vm.count[i]), bool(vm.valid[i]))
+        return stats
+
+    a, b = cells(pre), cells(ref)
+    assert set(a) == set(b)
+    for key in a:
+        np.testing.assert_allclose(a[key][0], b[key][0], atol=1e-4)
+        assert a[key][2] == b[key][2]
+        assert a[key][3] == b[key][3]
+        if a[key][3]:  # direction defined up to sign
+            assert abs(float(np.dot(a[key][1], b[key][1]))) > 1 - 1e-4
+
+
+def test_merge_union_hierarchical_keys():
+    """merge_moments with group_bits: union parity + trim decode use the
+    hierarchical centers."""
+    rng = np.random.default_rng(14)
+    xa, ma = _cloud(rng, 3000, -10, 10)
+    xb, mb = _cloud(rng, 3000, -10, 10)
+    k = 2
+    A = voxelmap.points_to_moments(jnp.asarray(xa), jnp.asarray(ma), LEAF,
+                                   jnp.asarray(ORIGIN), 4096, group_bits=k)
+    B = voxelmap.points_to_moments(jnp.asarray(xb), jnp.asarray(mb), LEAF,
+                                   jnp.asarray(ORIGIN), 4096, group_bits=k)
+    M = voxelmap.merge_moments(A, B, 8192, group_bits=k)
+    U = voxelmap.points_to_moments(
+        jnp.asarray(np.concatenate([xa, xb])),
+        jnp.asarray(np.concatenate([ma, mb])), LEAF, jnp.asarray(ORIGIN),
+        8192, group_bits=k)
+    np.testing.assert_array_equal(np.asarray(M.key), np.asarray(U.key))
+    np.testing.assert_allclose(np.asarray(M.cnt), np.asarray(U.cnt))
+    np.testing.assert_allclose(np.asarray(M.rsum), np.asarray(U.rsum),
+                               atol=1e-4)
+    # trim: centers decode with the hierarchical unpacking
+    T = voxelmap.merge_moments(A, voxelmap.empty_moments(16), 4096,
+                               trim_center=jnp.asarray(ORIGIN),
+                               trim_radius=4.0, leaf=LEAF,
+                               origin=jnp.asarray(ORIGIN), group_bits=k)
+    keys = np.asarray(T.key)
+    live = keys < 2**30
+    centers = np.asarray(voxelmap._decode_center(
+        jnp.asarray(keys[live]), LEAF, jnp.asarray(ORIGIN), group_bits=k))
+    assert np.all(np.linalg.norm(centers - ORIGIN, axis=1) <= 4.0 + 1e-5)
