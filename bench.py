@@ -142,6 +142,22 @@ def main():
     loop_scans_per_sec = (n_loop_scans - window) / wall2
     err2 = _traj_err(lio2, data2)
 
+    # --- phase 3: pose-graph LM ms/iter (BASELINE.md tracked metric) on the
+    # REAL graph phase 2 built (priors + odometry chain + any loop factors).
+    # Chained-in-jit: two compiles of the same program at iters=1 and
+    # iters=9; the slope is the per-relinearize-and-solve cost.
+    from msst_tpu.ops import graph as graph_ops
+    g = lio2.state.graph
+    jax.block_until_ready(graph_ops.optimize(g, iters=1).poses.t)
+    t0 = time.perf_counter()
+    jax.block_until_ready(graph_ops.optimize(g, iters=1).poses.t)
+    w1 = time.perf_counter() - t0
+    jax.block_until_ready(graph_ops.optimize(g, iters=9).poses.t)  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(graph_ops.optimize(g, iters=9).poses.t)
+    w9 = time.perf_counter() - t0
+    graph_ms_per_iter = 1000.0 * (w9 - w1) / 8.0
+
     result = {
         "metric": "lio_odometry_scans_per_sec",
         "value": round(scans_per_sec, 2),
@@ -156,6 +172,8 @@ def main():
             "scan_size": f"{n_scan}x{horizon}",
             "window": window,
             "backend": jax.devices()[0].platform,
+            "graph_lm_ms_per_iter": round(graph_ms_per_iter, 3),
+            "graph_keyframes": int(lio2.state.kf.count),
             "loop_on": {
                 "scans_per_sec": round(loop_scans_per_sec, 2),
                 "vs_baseline": round(

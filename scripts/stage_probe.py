@@ -207,6 +207,22 @@ def main():
         return (jnp.sum(lmap.corner_vox.mean) + jnp.sum(lmap.surf_vox.mean)
                 ) * EPS
 
+    def probe_s2m1(c, d):
+        # single GN trip: (s2m - s2m1)/(mean_iters - 1) isolates the
+        # per-additional-trip cost of the dynamic while_loop (body work +
+        # loop overhead); compare with `lookup` to see how much of a trip
+        # is the correspondence math itself
+        cx, cm, sx, sm, i6 = d
+        res = registration.scan_to_map_voxel(
+            cx, cm, sx, sm, lm.corner_vox, lm.surf_vox, i6 + c * EPS,
+            max_iters=1,
+            eig_threshold=p.degeneracy_threshold,
+            plateau_rtol=p.plateau_rtol,
+            plateau_min_iters=p.plateau_min_iters,
+            reassoc_rot=p.s2m_reassoc_rot,
+            reassoc_trans=p.s2m_reassoc_trans)
+        return jnp.sum(res.pose) * EPS
+
     def probe_preint(c, d):
         pt, pg, pa, pm = d
         pre = imu_ops.preintegrate(pt, pg + c * EPS, pa, pm,
@@ -223,6 +239,9 @@ def main():
         "s2m": (probe_s2m,
                 (corner_ds.xyz, corner_ds.mask, surf_ds.xyz, surf_ds.mask,
                  init6)),
+        "s2m1": (probe_s2m1,
+                 (corner_ds.xyz, corner_ds.mask, surf_ds.xyz, surf_ds.mask,
+                  init6)),
         "kf_update": (probe_kf_update,
                       (kf_c.xyz, kf_c.mask, kf_s.xyz, kf_s.mask,
                        corner_mom.key, corner_mom.rsum, corner_mom.cnt,
