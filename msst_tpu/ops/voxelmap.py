@@ -402,7 +402,8 @@ def merge_moments(a: VoxelMoments, b: VoxelMoments, capacity: int,
                   trim_radius: float | Array | None = None,
                   leaf: float | Array | None = None,
                   origin: Array | None = None,
-                  group_bits: int = 0) -> VoxelMoments:
+                  group_bits: int = 0,
+                  method: str = "sort") -> VoxelMoments:
     """Merge two sorted moment tables: cells with equal keys sum; cells whose
     count drops below `min_cnt` (evicted away) die; with `trim_center`/
     `trim_radius`, cells farther than the radius die too (the reference's
@@ -415,32 +416,45 @@ def merge_moments(a: VoxelMoments, b: VoxelMoments, capacity: int,
     (trimming makes this rare; the drop is logged nowhere — size caps so
     the overflow policy stays deterministic).
 
-    Both inputs are already sorted, so no sort runs here: the merged order
-    comes from ONE binary search of the (usually small) ``b`` keys into
-    ``a`` plus rank scatters, and the final compaction is a
-    cumsum-of-survivors scatter.  The old concat-and-bitonic-sort form paid
-    two 5-operand O(n log^2 n) sort networks per merge — the dominant cost
-    of the per-keyframe map update at bench shapes.  ``jnp.searchsorted``'s
-    dependent-gather chain only runs b-sized (segments.py measured the
-    large-side direction at ~13 ms for 49k queries on v5e — avoided)."""
+    The final compaction is always a cumsum-of-survivors scatter (the old
+    second 5-operand bitonic sort).  ``method`` picks how the merged order
+    is formed:
+
+    * "sort": ONE multi-operand ``lax.sort`` of the concatenated tables
+      (values ride the sort network — no gathers).
+    * "rank": no sort — a binary search of the ``b`` keys into ``a`` plus
+      rank scatters.  Algorithmically cheaper, but ``jnp.searchsorted``'s
+      scan method is a ~17-step DEPENDENT gather chain; measured on v5e at
+      bench shapes (49k+8k surf + 16k+2k corner) the merge pair ran 4.64 ms
+      vs 2.28 ms for "sort" — the default follows that measurement
+      (docs/DESIGN.md round-3 notes).
+    """
     na, nb = a.key.shape[0], b.key.shape[0]
     n_tot = na + nb
     avals = jnp.concatenate([a.rsum, a.cnt[:, None]], axis=1)
     bvals = jnp.concatenate([b.rsum, b.cnt[:, None]], axis=1)
-    # stable-merge ranks: b_j goes after equal a keys (side="right"), a_i
-    # fills the remaining slots in order (free-slot rank inversion)
-    pos_b = (jnp.arange(nb, dtype=jnp.int32)
-             + jnp.searchsorted(a.key, b.key, side="right"
-                                ).astype(jnp.int32))
-    occ_b = jnp.zeros((n_tot,), bool).at[pos_b].set(True)
-    free_rank = jnp.cumsum((~occ_b).astype(jnp.int32)) - 1
-    pos_of_a = jnp.zeros((na,), jnp.int32).at[
-        jnp.where(~occ_b, free_rank, na)].set(
-        jnp.arange(n_tot, dtype=jnp.int32), mode="drop")
-    key_s = jnp.zeros((n_tot,), jnp.int32
-                      ).at[pos_of_a].set(a.key).at[pos_b].set(b.key)
-    vals_s = jnp.zeros((n_tot, 4), avals.dtype
-                       ).at[pos_of_a].set(avals).at[pos_b].set(bvals)
+    if method == "sort":
+        key = jnp.concatenate([a.key, b.key])
+        vals = jnp.concatenate([avals, bvals])
+        key_s, v0, v1, v2, v3 = jax.lax.sort(
+            (key, vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]),
+            num_keys=1)
+        vals_s = jnp.stack([v0, v1, v2, v3], axis=1)
+    else:
+        # stable-merge ranks: b_j goes after equal a keys (side="right"),
+        # a_i fills the remaining slots in order (free-slot rank inversion)
+        pos_b = (jnp.arange(nb, dtype=jnp.int32)
+                 + jnp.searchsorted(a.key, b.key, side="right"
+                                    ).astype(jnp.int32))
+        occ_b = jnp.zeros((n_tot,), bool).at[pos_b].set(True)
+        free_rank = jnp.cumsum((~occ_b).astype(jnp.int32)) - 1
+        pos_of_a = jnp.zeros((na,), jnp.int32).at[
+            jnp.where(~occ_b, free_rank, na)].set(
+            jnp.arange(n_tot, dtype=jnp.int32), mode="drop")
+        key_s = jnp.zeros((n_tot,), jnp.int32
+                          ).at[pos_of_a].set(a.key).at[pos_b].set(b.key)
+        vals_s = jnp.zeros((n_tot, 4), avals.dtype
+                           ).at[pos_of_a].set(avals).at[pos_b].set(bvals)
     valid_s = key_s < _BIG
     new_cell = (key_s != jnp.roll(key_s, 1)).at[0].set(True) & valid_s
     seg = jnp.cumsum(new_cell.astype(jnp.int32)) - 1

@@ -140,6 +140,15 @@ def main():
     kf_c = compact(corner_ds, p.kf_corner_cap)
     kf_s = compact(surf_ds, p.kf_surf_cap)
 
+    # keyframe-delta moment tables for the merge stage
+    _ckb, _skb = _moment_group_bits(p)
+    kfm_c = voxelmap.points_to_moments(
+        kf_c.xyz, kf_c.mask, p.mapping_corner_leaf_size, anchor,
+        p.kf_corner_cap, group_bits=_ckb or 0)
+    kfm_s = voxelmap.points_to_moments(
+        kf_s.xyz, kf_s.mask, p.mapping_surf_leaf_size, anchor,
+        p.kf_surf_cap, group_bits=_skb or 0)
+
     EPS = 1e-9
 
     def probe_frontend(c, d):
@@ -199,6 +208,38 @@ def main():
         return (jnp.sum(lmap.corner_vox.mean) + jnp.sum(lmap.surf_vox.mean)
                 ) * EPS
 
+    def probe_kfmom(c, d):
+        # the keyframe-delta summarization alone (2x points_to_moments)
+        kcx, kcm, ksx, ksm = d
+        ck, sk = _moment_group_bits(p)
+        cmom = voxelmap.points_to_moments(
+            kcx + c * EPS, kcm, p.mapping_corner_leaf_size, anchor,
+            p.kf_corner_cap, group_bits=ck or 0)
+        smom = voxelmap.points_to_moments(
+            ksx + c * EPS, ksm, p.mapping_surf_leaf_size, anchor,
+            p.kf_surf_cap, group_bits=sk or 0)
+        return (jnp.sum(cmom.rsum) + jnp.sum(smom.rsum)) * EPS
+
+    def probe_merge(c, d):
+        # the table merges alone (2x merge_moments at map capacities)
+        cm0_k, cm0_r, cm0_c, sm0_k, sm0_r, sm0_c, kc_k, kc_r, kc_c, \
+            ks_k, ks_r, ks_c = d
+        cm0 = voxelmap.VoxelMoments(cm0_k, cm0_r + c * EPS, cm0_c)
+        sm0 = voxelmap.VoxelMoments(sm0_k, sm0_r + c * EPS, sm0_c)
+        cmom = voxelmap.VoxelMoments(kc_k, kc_r, kc_c)
+        smom = voxelmap.VoxelMoments(ks_k, ks_r, ks_c)
+        r = p.surrounding_keyframe_search_radius
+        ck, sk = _moment_group_bits(p)
+        cmg = voxelmap.merge_moments(
+            cm0, cmom, p.map_corner_cap, trim_center=anchor, trim_radius=r,
+            leaf=p.mapping_corner_leaf_size, origin=anchor,
+            group_bits=ck or 0)
+        smg = voxelmap.merge_moments(
+            sm0, smom, p.map_surf_cap, trim_center=anchor, trim_radius=r,
+            leaf=p.mapping_surf_leaf_size, origin=anchor,
+            group_bits=sk or 0)
+        return (jnp.sum(cmg.rsum) + jnp.sum(smg.rsum)) * EPS
+
     def probe_fitmom(c, d):
         cm0_k, cm0_r, cm0_c, sm0_k, sm0_r, sm0_c = d
         cm0 = voxelmap.VoxelMoments(cm0_k, cm0_r + c * EPS, cm0_c)
@@ -246,6 +287,13 @@ def main():
                       (kf_c.xyz, kf_c.mask, kf_s.xyz, kf_s.mask,
                        corner_mom.key, corner_mom.rsum, corner_mom.cnt,
                        surf_mom.key, surf_mom.rsum, surf_mom.cnt)),
+        "kfmom": (probe_kfmom,
+                  (kf_c.xyz, kf_c.mask, kf_s.xyz, kf_s.mask)),
+        "merge": (probe_merge,
+                  (corner_mom.key, corner_mom.rsum, corner_mom.cnt,
+                   surf_mom.key, surf_mom.rsum, surf_mom.cnt,
+                   kfm_c.key, kfm_c.rsum, kfm_c.cnt,
+                   kfm_s.key, kfm_s.rsum, kfm_s.cnt)),
         "fitmom": (probe_fitmom,
                    (corner_mom.key, corner_mom.rsum, corner_mom.cnt,
                     surf_mom.key, surf_mom.rsum, surf_mom.cnt)),
