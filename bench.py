@@ -85,7 +85,11 @@ def main():
     traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.0)
 
     # --- phase 1: odometry-only throughput (primary metric)
-    n_warm, n_bench = window, 80  # warm-up = one full window
+    # n_bench must be a MULTIPLE of the window: a partial window computes
+    # all W slots but only its valid prefix counts, so 80 scans at W=32
+    # (2.5 windows) inflated ms/scan ~17% (r3 measured phase 1 slower than
+    # the longer loop-ON phase for exactly this reason)
+    n_warm, n_bench = window, 3 * window  # warm-up = one full window
     data = sim.make_dataset(world, traj, n_scans=n_warm + n_bench,
                             scan_dt=0.1, n_scan=n_scan, horizon=horizon,
                             seed=7)

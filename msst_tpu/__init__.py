@@ -32,3 +32,34 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _configure_matmul_precision():
+    """Force full-f32 dot/matmul precision for the whole framework.
+
+    JAX's DEFAULT dot_general precision on TPU computes f32 contractions at
+    reduced (bfloat16-mantissa) precision on the MXU.  That is the right
+    trade for neural nets; it is the wrong one for a state estimator whose
+    matmuls are geometric: point transforms and Gauss-Newton normal
+    equations carry metric coordinates of 10-100 m where bf16 mantissa
+    steps are centimeters.  Measured on the bench drive (16x1800, 96
+    scans): identical programs gave max drift 0.065 m on CPU (true f32)
+    but 0.110 m on v5e at DEFAULT precision, with more GN iterations
+    burned on the noise floor (docs/DESIGN.md round 3).
+
+    The hot-path matmuls are tiny ((N,3)x(3,3) transforms, (N,6) normal-
+    equation reductions, 15x15 covariance updates), so HIGHEST costs
+    nothing measurable.  Opt out (e.g. for offline calibration sweeps
+    where speed beats the last millimeter) with
+    ``MSST_MATMUL_PRECISION=default``.
+    """
+    import os
+
+    pref = os.environ.get("MSST_MATMUL_PRECISION", "highest")
+    if pref != "default":
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", pref)
+
+
+_configure_matmul_precision()

@@ -208,6 +208,33 @@ def main():
         return (jnp.sum(lmap.corner_vox.mean) + jnp.sum(lmap.surf_vox.mean)
                 ) * EPS
 
+    def probe_surf_ds_full(c, d):
+        # the frontend's full-scan per-ring surface voxel downsample alone
+        # (28.8k-row 10-operand sort at bench shapes)
+        pts, ax = d
+        i = unpack_step_input(pts + c * EPS, ax, p)
+        from msst_tpu.ops.pointcloud import Cloud
+        cl = Cloud.create(i.scan.xyz, mask=i.scan.mask,
+                          attrs=i.scan.time[:, None])
+        ring_id = i.scan.ring
+        su = voxel.voxel_downsample(cl, p.odometry_surf_leaf_size,
+                                    capacity=p.scan_surf_cap,
+                                    extra_key=ring_id)
+        return jnp.sum(su.xyz) * EPS
+
+    def probe_deskew(c, d):
+        # rotation timeline + per-point interpolation + quat rotate alone
+        pts, ax = d
+        i = unpack_step_input(pts + c * EPS, ax, p)
+        from msst_tpu.ops import range_image as ri_ops
+        win = ri_ops.ImuWindow(i.scan.imu_t, i.scan.imu_gyro,
+                               i.scan.imu_acc, i.scan.imu_mask)
+        times, rots = ri_ops.imu_rotation_timeline(win)
+        n_imu = jnp.sum(i.scan.imu_mask.astype(jnp.int32))
+        out = ri_ops.deskew(i.scan.xyz, i.scan.scan_start + i.scan.time,
+                            times, rots, n_imu, t_start=i.scan.scan_start)
+        return jnp.sum(out) * EPS
+
     def probe_kfmom(c, d):
         # the keyframe-delta summarization alone (2x points_to_moments)
         kcx, kcm, ksx, ksm = d
@@ -287,6 +314,8 @@ def main():
                       (kf_c.xyz, kf_c.mask, kf_s.xyz, kf_s.mask,
                        corner_mom.key, corner_mom.rsum, corner_mom.cnt,
                        surf_mom.key, surf_mom.rsum, surf_mom.cnt)),
+        "surf_ds_full": (probe_surf_ds_full, (points, aux)),
+        "deskew": (probe_deskew, (points, aux)),
         "kfmom": (probe_kfmom,
                   (kf_c.xyz, kf_c.mask, kf_s.xyz, kf_s.mask)),
         "merge": (probe_merge,
