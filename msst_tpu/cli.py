@@ -135,17 +135,28 @@ def cmd_lio_kitti(args):
                   f"({s['n_segments']} segments)")
 
 
+def _lio_sensor(sensor: str) -> str:
+    """CLI --sensor auto -> the params default (column binning only differs
+    for livox, which has no auto signature; explicit flag required there)."""
+    return "velodyne" if sensor == "auto" else sensor
+
+
 def cmd_lio_bag(args):
     from msst_tpu.utils.io_rosbag import iter_lio_inputs
 
-    it = iter_lio_inputs(args.bag, args.cloud_topic, args.imu_topic)
+    it = iter_lio_inputs(args.bag, args.cloud_topic, args.imu_topic,
+                         sensor=args.sensor)
     if args.scans:
         import itertools
         it = itertools.islice(it, args.scans)
     params = None
     if args.tiny:
         from msst_tpu.models.liosam.params import tiny_params
-        params = tiny_params(loop_closure_enabled=args.loop)
+        params = tiny_params(loop_closure_enabled=args.loop,
+                             sensor=_lio_sensor(args.sensor))
+    elif args.sensor != "auto":
+        from msst_tpu.models.liosam.params import LioParams
+        params = LioParams(sensor=_lio_sensor(args.sensor))
     lio = _lio_run(it, params=params, loop=args.loop,
                    viz_every=args.viz_every, viz_dir=args.viz_dir)
     traj = lio.trajectory.as_matrices()
@@ -384,6 +395,10 @@ def main(argv=None):
     s.add_argument("--loop", action="store_true")
     s.add_argument("--tiny", action="store_true",
                    help="small-capacity params (CPU-friendly)")
+    s.add_argument("--sensor", default="auto",
+                   choices=("auto", "velodyne", "ouster", "livox"),
+                   help="vendor point format (the reference's `sensor` "
+                        "param, imageProjection.cpp:207-233)")
     s.add_argument("--output", default="trajectory.txt")
     s.add_argument("--viz-every", type=int, default=0,
                    help="write global_map.ply + trajectory.png every N scans")

@@ -97,7 +97,9 @@ def run_frontend(scan: ScanInput, p, vel_body: Array | None = None,
 
     # --- range image + ring extraction (projectPointCloud/cloudExtraction)
     img = ri.project(cloud, scan.ring, p.n_scan, p.horizon_scan,
-                     p.lidar_min_range, p.lidar_max_range, p.downsample_rate)
+                     p.lidar_min_range, p.lidar_max_range, p.downsample_rate,
+                     column_mode="counter" if getattr(p, "sensor", "velodyne")
+                     == "livox" else "azimuth")
     ext = ri.extract_rings(img)
 
     # --- LOAM features (NMS variant by default; see features.py docstring)

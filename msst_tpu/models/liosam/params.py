@@ -15,6 +15,12 @@ import dataclasses
 @dataclasses.dataclass(frozen=True)
 class LioParams:
     # --- Lidar sensor geometry (params.yaml:22-31) — static, fixes shapes
+    # sensor: "velodyne" | "ouster" | "livox" (params.yaml:20, the SensorType
+    # switch of imageProjection.cpp:207-233,544-558).  velodyne/ouster share
+    # azimuth column binning; livox uses the per-ring running-counter
+    # columns.  Host-side format conversion (Ouster ns->s point times etc.)
+    # lives in utils/sensor_formats.py.
+    sensor: str = "velodyne"
     n_scan: int = 16
     horizon_scan: int = 1800
     downsample_rate: int = 1

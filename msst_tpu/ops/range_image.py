@@ -158,11 +158,16 @@ def project(
     min_range: float,
     max_range: float,
     downsample_rate: int = 1,
+    column_mode: str = "azimuth",
 ) -> RangeImage:
     """Project a masked point set into the range image.
 
-    Column binning matches ``projectPointCloud`` :544-552 exactly:
-    ``col = -round((atan2(x, y)*180/pi - 90)/res) + H/2`` with wraparound.
+    column_mode="azimuth" (Velodyne/Ouster) matches ``projectPointCloud``
+    :544-552 exactly: ``col = -round((atan2(x, y)*180/pi - 90)/res) + H/2``
+    with wraparound.  column_mode="counter" is the reference's LIVOX branch
+    (:553-558): the column is a per-ring running counter over gate-passing
+    points in input order (``columnIdnCountVec``) — solid-state lidars have
+    no spinning azimuth, so arrival order IS the scan order.
     First point (in input order) wins each pixel (:561-562).
     """
     x, y = cloud.xyz[:, 0], cloud.xyz[:, 1]
@@ -173,10 +178,22 @@ def project(
     if downsample_rate > 1:
         ok &= (ring % downsample_rate) == 0
 
-    ang_res = 360.0 / horizon
-    horizon_angle = jnp.arctan2(x, y) * (180.0 / jnp.pi)
-    col = (-jnp.round((horizon_angle - 90.0) / ang_res)).astype(jnp.int32) + horizon // 2
-    col = jnp.where(col >= horizon, col - horizon, col)
+    if column_mode == "counter":
+        # per-ring running count of gate-passing points, in input order
+        # (the counter increments for every point that passed the
+        # range/ring/downsample gates, exactly like columnIdnCountVec)
+        ring_safe = jnp.clip(ring, 0, n_scan - 1)
+        onehot = (ring_safe[:, None] == jnp.arange(n_scan, dtype=jnp.int32)
+                  ) & ok[:, None]
+        cum = jnp.cumsum(onehot.astype(jnp.int32), axis=0)  # inclusive
+        col = jnp.take_along_axis(cum, ring_safe[:, None], axis=1)[:, 0] - 1
+    elif column_mode == "azimuth":
+        ang_res = 360.0 / horizon
+        horizon_angle = jnp.arctan2(x, y) * (180.0 / jnp.pi)
+        col = (-jnp.round((horizon_angle - 90.0) / ang_res)).astype(jnp.int32) + horizon // 2
+        col = jnp.where(col >= horizon, col - horizon, col)
+    else:
+        raise ValueError(f"unknown column_mode {column_mode!r}")
     ok &= (col >= 0) & (col < horizon)
 
     flat = ring * horizon + col

@@ -179,16 +179,23 @@ def decode_odometry(buf: bytes) -> dict:
 
 
 def iter_lio_inputs(path: str, cloud_topic: str, imu_topic: str,
-                    imu_extrinsics=None):
+                    imu_extrinsics=None, sensor: str = "auto"):
     """Replay a bag into per-scan dicts shaped for LioSam.process_scan.
 
     imu_extrinsics: optional :class:`~msst_tpu.utils.imu_adapter.ImuExtrinsics`
     applied to every IMU sample before windowing (the reference converts in
-    each IMU callback, ``utility.h:252-282``)."""
+    each IMU callback, ``utility.h:252-282``).
+
+    sensor: "velodyne" | "ouster" | "livox" | "auto" — the reference's
+    ``sensor`` param (``imageProjection.cpp:207-233``); selects the vendor
+    point-format conversion (Ouster ships uint32-nanosecond point times).
+    "auto" detects Ouster from its signature fields."""
     from .imu_adapter import ImuExtrinsics, convert_scan_dict
+    from .sensor_formats import ScanStreamChecker
     if imu_extrinsics is None:
         imu_extrinsics = ImuExtrinsics.identity()
     reader = RosbagReader(path)
+    checker = ScanStreamChecker(sensor)
     imu_t, imu_g, imu_a, imu_q = [], [], [], []
     for topic, stamp, info, raw in reader.messages({cloud_topic, imu_topic}):
         if topic == imu_topic:
@@ -199,9 +206,8 @@ def iter_lio_inputs(path: str, cloud_topic: str, imu_topic: str,
             imu_q.append(m["orientation"])
         else:
             m = decode_pointcloud2(raw)
-            xyz = np.stack([m["x"], m["y"], m["z"]], axis=1).astype(np.float32)
-            ring = m.get("ring", np.zeros(len(xyz), np.int32)).astype(np.int32)
-            trel = m.get("time", m.get("t", np.zeros(len(xyz)))).astype(np.float32)
+            conv = checker.convert(m)
+            xyz, ring, trel = conv["xyz"], conv["ring"], conv["time_rel"]
             t_arr = np.asarray(imu_t)
             sel = (t_arr >= m["stamp"] - 0.5) & (t_arr <= m["stamp"] + 0.2) \
                 if len(t_arr) else np.zeros(0, bool)
@@ -212,7 +218,7 @@ def iter_lio_inputs(path: str, cloud_topic: str, imu_topic: str,
                 rpy = Rs.from_quat([q[1], q[2], q[3], q[0]]).as_euler("xyz").astype(np.float32)
             yield convert_scan_dict(imu_extrinsics, dict(
                 xyz=xyz, ring=ring, time_rel=trel, scan_start=m["stamp"],
-                intensity=m.get("intensity"),
+                intensity=conv["intensity"],
                 imu_t=t_arr[sel] if sel.any() else np.zeros(0, np.float64),
                 imu_gyro=np.asarray(imu_g)[sel].astype(np.float32) if sel.any() else np.zeros((0, 3), np.float32),
                 imu_acc=np.asarray(imu_a)[sel].astype(np.float32) if sel.any() else np.zeros((0, 3), np.float32),

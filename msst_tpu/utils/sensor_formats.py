@@ -1,0 +1,146 @@
+"""Sensor point-format conversion + input validation (host side).
+
+Rebuilds the reference's ``cachePointCloud``
+(``liosam_ws/src/LIO-SAM/src/imageProjection.cpp:197-284``): LIO-SAM accepts
+three vendor point layouts, converts them to a common XYZIRT record, and
+validates the stream once at startup:
+
+* **Velodyne** (``VelodynePointXYZIRT``, :4-15): x/y/z/intensity,
+  ``ring`` uint16, ``time`` float32 seconds relative to scan start — the
+  common representation (:34).
+* **Ouster** (``OusterPointXYZIRT``, :17-31): x/y/z/intensity, ``t`` uint32
+  NANOSECONDS, ``reflectivity``/``noise``/``range`` extras, ``ring`` uint8 —
+  converted by ``dst.time = src.t * 1e-9f`` (:226).
+* **Livox** (:207-210): ships the Velodyne-compatible XYZIRT layout (the
+  livox_ros_driver converts); what differs is the range-image column
+  assignment (per-ring running counter, :553-558), selected by
+  ``LioParams.sensor = "livox"`` and handled in ``ops/range_image.project``.
+
+Validation mirrors :241-284: dense (no-NaN) check, ring-channel check
+(fatal), point-time check (warn once -> deskew disabled).  Deviation: where
+the reference calls ``ros::shutdown()`` on a non-dense cloud, we mask the
+non-finite rows instead (the pipeline is mask-native; the reference needs
+the separate nan_filter_ws node for the same effect) and report it in the
+returned flags.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional
+
+import numpy as np
+
+SENSORS = ("velodyne", "ouster", "livox")
+
+
+def detect_sensor(cloud: dict) -> str:
+    """Best-effort sensor detection from PointCloud2 field names (the
+    reference instead trusts the ``sensor`` param; auto-detect covers the
+    common bags).  Ouster's signature extras: ``t`` + ``reflectivity``."""
+    if "t" in cloud and ("reflectivity" in cloud or "noise" in cloud
+                         or "range" in cloud):
+        return "ouster"
+    return "velodyne"
+
+
+def to_xyzirt(cloud: dict, sensor: str = "auto") -> dict:
+    """Convert a decoded PointCloud2 dict (``io_rosbag.decode_pointcloud2``)
+    to the common XYZIRT arrays.
+
+    Returns dict with keys ``xyz (N,3) f32``, ``ring (N,) i32``,
+    ``time_rel (N,) f32`` (seconds from scan start), ``intensity (N,) f32``,
+    ``deskew_ok bool`` (time field present, :267-281), ``was_dense bool``.
+
+    Raises ValueError when the ring channel is missing (:249-266 — fatal in
+    the reference too: without rings the range image cannot be built).
+    """
+    if sensor == "auto":
+        sensor = detect_sensor(cloud)
+    if sensor not in SENSORS:
+        raise ValueError(f"unknown sensor type {sensor!r}; expected one of "
+                         f"{SENSORS} (imageProjection.cpp:229-233)")
+
+    n = len(np.asarray(cloud["x"]).reshape(-1))
+    xyz = np.stack([np.asarray(cloud["x"], np.float32).reshape(-1),
+                    np.asarray(cloud["y"], np.float32).reshape(-1),
+                    np.asarray(cloud["z"], np.float32).reshape(-1)], axis=1)
+
+    if "ring" not in cloud:
+        raise ValueError(
+            "Point cloud ring channel not available, please configure your "
+            "point cloud data! (imageProjection.cpp:249-266)")
+    ring = np.asarray(cloud["ring"]).reshape(-1).astype(np.int32)
+
+    deskew_ok = True
+    if sensor == "ouster":
+        # uint32 nanoseconds -> float seconds (dst.time = src.t * 1e-9f,
+        # imageProjection.cpp:226).  float64 first: 1e9 ns does not fit a
+        # float32 mantissa at ns resolution.
+        if "t" in cloud:
+            time_rel = (np.asarray(cloud["t"], np.float64).reshape(-1)
+                        * 1e-9).astype(np.float32)
+        else:
+            time_rel = np.zeros(n, np.float32)
+            deskew_ok = False
+    else:
+        if "time" in cloud:
+            time_rel = np.asarray(cloud["time"], np.float32).reshape(-1)
+        elif "t" in cloud:  # some velodyne drivers name it t (seconds)
+            time_rel = np.asarray(cloud["t"], np.float64).reshape(-1)
+            # heuristics: integer dtype or >1s offsets mean nanoseconds
+            if np.issubdtype(np.asarray(cloud["t"]).dtype, np.integer) or (
+                    len(time_rel) and np.nanmax(time_rel) > 10.0):
+                time_rel = time_rel * 1e-9
+            time_rel = time_rel.astype(np.float32)
+        else:
+            time_rel = np.zeros(n, np.float32)
+            deskew_ok = False
+    if not deskew_ok:
+        warnings.warn(
+            "Point cloud timestamp not available, deskew function disabled, "
+            "system will drift significantly! (imageProjection.cpp:267-281)")
+
+    was_dense = bool(cloud.get("is_dense", True))
+    finite = np.isfinite(xyz).all(axis=1)
+    if not finite.all():
+        # deviation from the reference's shutdown (:241-245): the pipeline
+        # is mask-native, so non-finite rows are dropped like nan_filter_ws
+        # would have (nan_filter_node.cpp:30-50)
+        xyz = xyz[finite]
+        ring = ring[finite]
+        time_rel = time_rel[finite]
+        was_dense = False
+
+    intensity = cloud.get("intensity")
+    if intensity is not None:
+        intensity = np.asarray(intensity, np.float32).reshape(-1)
+        if len(intensity) == n and len(xyz) != n:
+            intensity = intensity[finite]
+
+    return dict(xyz=xyz, ring=ring, time_rel=time_rel, intensity=intensity,
+                deskew_ok=deskew_ok, was_dense=was_dense)
+
+
+class ScanStreamChecker:
+    """Once-per-stream validation state (the reference's static
+    ``ringFlag``/``deskewFlag``, imageProjection.cpp:248-284)."""
+
+    def __init__(self, sensor: str = "auto"):
+        self.sensor = sensor
+        self._resolved: Optional[str] = None
+        self._warned = False
+
+    def convert(self, cloud: dict) -> dict:
+        if self._resolved is None:
+            self._resolved = (detect_sensor(cloud) if self.sensor == "auto"
+                              else self.sensor)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = to_xyzirt(cloud, self._resolved)
+        for item in w:
+            if not self._warned:
+                warnings.warn_explicit(item.message, item.category,
+                                       __file__, 0)
+                self._warned = True
+        return out
