@@ -235,6 +235,46 @@ def main():
                             times, rots, n_imu, t_start=i.scan.scan_start)
         return jnp.sum(out) * EPS
 
+    def _scan_cloud(pts, ax, c):
+        i = unpack_step_input(pts + c * EPS, ax, p)
+        from msst_tpu.ops.pointcloud import Cloud
+        return i, Cloud.create(i.scan.xyz, mask=i.scan.mask,
+                               attrs=i.scan.time[:, None])
+
+    def probe_project(c, d):
+        # range-image projection alone (scatter-min + winner gathers)
+        pts, ax = d
+        from msst_tpu.ops import range_image as ri_ops
+        i, cl = _scan_cloud(pts, ax, c)
+        img = ri_ops.project(cl, i.scan.ring, p.n_scan, p.horizon_scan,
+                             p.lidar_min_range, p.lidar_max_range,
+                             p.downsample_rate)
+        return jnp.sum(img.xyz) * EPS
+
+    def probe_extract(c, d):
+        # CUMULATIVE: project + ring packing (read extract = this - project)
+        pts, ax = d
+        from msst_tpu.ops import range_image as ri_ops
+        i, cl = _scan_cloud(pts, ax, c)
+        img = ri_ops.project(cl, i.scan.ring, p.n_scan, p.horizon_scan,
+                             p.lidar_min_range, p.lidar_max_range,
+                             p.downsample_rate)
+        ext = ri_ops.extract_rings(img)
+        return jnp.sum(ext.xyz) * EPS
+
+    def probe_features(c, d):
+        # CUMULATIVE: project + extract + NMS feature masks
+        pts, ax = d
+        from msst_tpu.ops import range_image as ri_ops
+        i, cl = _scan_cloud(pts, ax, c)
+        img = ri_ops.project(cl, i.scan.ring, p.n_scan, p.horizon_scan,
+                             p.lidar_min_range, p.lidar_max_range,
+                             p.downsample_rate)
+        ext = ri_ops.extract_rings(img)
+        m = F.extract_features_nms(ext, p.edge_threshold, p.surf_threshold)
+        return (jnp.sum(jnp.where(m.corner, ext.xyz[..., 0], 0.0))
+                + jnp.sum(jnp.where(m.surface, ext.xyz[..., 1], 0.0))) * EPS
+
     def probe_kfmom(c, d):
         # the keyframe-delta summarization alone (2x points_to_moments)
         kcx, kcm, ksx, ksm = d
@@ -316,6 +356,9 @@ def main():
                        surf_mom.key, surf_mom.rsum, surf_mom.cnt)),
         "surf_ds_full": (probe_surf_ds_full, (points, aux)),
         "deskew": (probe_deskew, (points, aux)),
+        "project": (probe_project, (points, aux)),
+        "extract": (probe_extract, (points, aux)),      # cumulative w/ project
+        "features": (probe_features, (points, aux)),    # cumulative w/ both
         "kfmom": (probe_kfmom,
                   (kf_c.xyz, kf_c.mask, kf_s.xyz, kf_s.mask)),
         "merge": (probe_merge,
