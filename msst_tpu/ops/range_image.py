@@ -208,9 +208,15 @@ def project(
     valid = winner < cloud.capacity
     wsafe = jnp.minimum(winner, cloud.capacity - 1)
 
-    img_xyz = cloud.xyz[wsafe].reshape(n_scan, horizon, 3)
-    img_attrs = cloud.attrs[wsafe].reshape(n_scan, horizon, -1)
-    img_rng = rng[wsafe].reshape(n_scan, horizon)
+    # ONE wide row gather (xyz | attrs | rng): per-row overhead dominates
+    # TPU gathers, so three narrow gathers of the same rows cost ~3x one
+    # wide gather (measured round 2 on the voxel lookup, docs/DESIGN.md)
+    A = cloud.attrs.shape[1]
+    wide = jnp.concatenate([cloud.xyz, cloud.attrs, rng[:, None]], axis=1)
+    wide_img = wide[wsafe].reshape(n_scan, horizon, 4 + A)
+    img_xyz = wide_img[..., :3]
+    img_attrs = wide_img[..., 3:3 + A]
+    img_rng = wide_img[..., 3 + A]
     valid = valid.reshape(n_scan, horizon)
     img_rng = jnp.where(valid, img_rng, jnp.inf)
     return RangeImage(img_rng, img_xyz, img_attrs, valid)
@@ -237,19 +243,28 @@ class ExtractedScan(NamedTuple):
 
 def extract_rings(img: RangeImage) -> ExtractedScan:
     """Pack valid pixels of each ring into a dense prefix (stable by column),
-    mirroring ``cloudExtraction`` :574-598."""
+    mirroring ``cloudExtraction`` :574-598.
+
+    One multi-operand ``lax.sort`` along the column axis carries every field
+    through the sort network instead of argsort + per-field permutation
+    gathers (the round-2 voxel_downsample rewrite, ~2x at scan sizes on
+    v5e).  The key ``(~valid)*H + column`` is strictly increasing within
+    each validity class, so the sort is the stable partition exactly."""
     n_scan, horizon = img.rng.shape
-
-    def one_ring(rng_r, xyz_r, attrs_r, valid_r):
-        order = jnp.argsort(~valid_r, stable=True)
-        cnt = jnp.sum(valid_r.astype(jnp.int32))
-        return (
-            xyz_r[order],
-            jnp.where(jnp.arange(horizon) < cnt, rng_r[order], jnp.inf),
-            order.astype(jnp.int32),
-            attrs_r[order],
-            cnt,
-        )
-
-    xyz, rng, col, attrs, count = jax.vmap(one_ring)(img.rng, img.xyz, img.attrs, img.valid)
+    iota = jnp.broadcast_to(jnp.arange(horizon, dtype=jnp.int32),
+                            (n_scan, horizon))
+    key = jnp.where(img.valid, iota, iota + horizon)
+    A = img.attrs.shape[-1]
+    rng_f = jnp.where(img.valid, img.rng, jnp.inf)
+    sorted_ops = jax.lax.sort(
+        (key, img.xyz[..., 0], img.xyz[..., 1], img.xyz[..., 2], rng_f,
+         *(img.attrs[..., j] for j in range(A))),
+        dimension=1, num_keys=1)
+    key_s = sorted_ops[0]
+    xyz = jnp.stack(sorted_ops[1:4], axis=-1)
+    rng = sorted_ops[4]
+    attrs = (jnp.stack(sorted_ops[5:], axis=-1) if A
+             else img.attrs)
+    col = jnp.where(key_s < horizon, key_s, key_s - horizon)
+    count = jnp.sum(img.valid.astype(jnp.int32), axis=1)
     return ExtractedScan(xyz, rng, col, attrs, count)
