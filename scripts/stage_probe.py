@@ -55,6 +55,7 @@ def main():
                                                 unpack_step_input)
     from msst_tpu.models.liosam.params import LioParams
     from msst_tpu.models.liosam.pipeline import LioSam
+    from msst_tpu.ops import features as F
     from msst_tpu.ops import imu as imu_ops
     from msst_tpu.ops import registration, se3, voxel, voxelmap
     from msst_tpu.utils import sim
