@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--windows", type=int, default=8)
     ap.add_argument("--window-size", type=int, default=16)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--skip-upload", action="store_true",
+                    help="skip the per-window fresh-upload phase (its "
+                         "synchronous jnp.asarray dispatches measured "
+                         "pathologically slow through the tunnel — the "
+                         "full/execute phases bracket the answer)")
     args = ap.parse_args()
 
     import jax
@@ -102,11 +107,13 @@ def main():
 
     # --- phase UPLOAD: fresh upload per window, dispatches chained
     state = lio.state  # direct window_fn calls donate these buffers
-    t0 = time.perf_counter()
-    for w in packed:
-        state, outs = window_fn(state, jnp.asarray(w), p)
-    sync(outs)
-    results["upload_ms_per_window"] = 1000.0 * (time.perf_counter() - t0) / N
+    if not args.skip_upload:
+        t0 = time.perf_counter()
+        for w in packed:
+            state, outs = window_fn(state, jnp.asarray(w), p)
+        sync(outs)
+        results["upload_ms_per_window"] = (1000.0
+                                           * (time.perf_counter() - t0) / N)
 
     # --- phase EXECUTE: inputs pre-staged on device
     staged = [jax.device_put(w) for w in packed]
