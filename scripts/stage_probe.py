@@ -41,6 +41,14 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--stages", default="",
                     help="comma-separated subset (default: all)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="vmap each probed stage over a W-slot batch (the "
+                         "window program runs the scan-local prepare phase "
+                         "vmapped over the dispatch window; batched lowering "
+                         "can differ wildly from the single-scan one — the "
+                         "round-3 core bisect found the W=32 execute floor "
+                         "almost entirely in the vmapped prefix). Only "
+                         "scan-local stages are meaningful batched.")
     args = ap.parse_args()
 
     import jax
@@ -338,6 +346,32 @@ def main():
                                    imu_ops.ImuBias.zero(), p.imu_params)
         return jnp.sum(pre.dp) * EPS
 
+    def probe_prep(c, d):
+        # the WHOLE scan-local prepare phase (unpack + frontend + feature
+        # downsample + zero-bias preintegration) — with --batch W this is
+        # exactly the window program's vmapped prefix
+        pts, ax = d
+        i = unpack_step_input(pts + c * EPS, ax, p)
+        ps = mapping.prepare_scan(i, p)
+        return jnp.sum(ps.corner_xyz) * EPS
+
+    def probe_recon(c, d):
+        # the range-image upload's in-program xyz reconstruction
+        # (mapping.odometry_window_flat_ri): trig + stack per pixel
+        rr, az, el, tc = d
+        S, H = p.n_scan, p.horizon_scan
+        r = (rr + c * EPS).reshape(S, H)
+        ce, se_ = jnp.cos(el), jnp.sin(el)
+        ca, sa = jnp.cos(az), jnp.sin(az)
+        x = r * (ce[:, None] * ca[None, :])
+        y = r * (ce[:, None] * sa[None, :])
+        z = r * se_[:, None]
+        t = jnp.broadcast_to(tc[None, :], (S, H))
+        ring = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.float32)[:, None], (S, H))
+        pts5 = jnp.stack([x, y, z, t, ring], axis=-1).reshape(S * H, 5)
+        return jnp.sum(pts5) * EPS
+
     stages = {
         "frontend": (probe_frontend, (points, aux)),
         "scan_ds": (probe_scan_ds,
@@ -372,13 +406,31 @@ def main():
                     surf_mom.key, surf_mom.rsum, surf_mom.cnt)),
         "preint": (probe_preint,
                    (inp.pre_t, inp.pre_gyro, inp.pre_acc, inp.pre_mask)),
+        "prep": (probe_prep, (points, aux)),
+        "recon": (probe_recon,
+                  (jnp.asarray(np.asarray(s0["ranges"],
+                                          np.float32).reshape(-1)),
+                   jnp.asarray(np.asarray(s0["azimuth"], np.float32)),
+                   jnp.asarray(np.asarray(s0["elev"], np.float32)),
+                   jnp.asarray(np.asarray(s0["col_time"], np.float32)))),
     }
     subset = [s for s in args.stages.split(",") if s] or list(stages)
 
     import functools
     results = {}
+    W = args.batch
     for name in subset:
         fn, dat = stages[name]
+        if W > 1:
+            # vmap the stage over a W-slot batch (per-slot carry jitter keeps
+            # slots from being literally identical programs+data)
+            def fnb(c, dat, fn=fn):
+                dW = jax.tree_util.tree_map(
+                    lambda a: jnp.broadcast_to(a, (W,) + a.shape), dat)
+                slots = jnp.arange(W, dtype=jnp.float32)
+                return jnp.sum(jax.vmap(
+                    lambda s, dd: fn(c + s * 1e-6, dd))(slots, dW))
+            fn = fnb
 
         @functools.partial(jax.jit, static_argnums=())
         def run(reps, dat=dat, fn=fn):
@@ -398,6 +450,7 @@ def main():
     print(json.dumps({
         "stage_ms": results,
         "reps": args.reps,
+        "batch": W,
         "backend": jax.devices()[0].platform,
         "note": "per-scan: frontend+scan_ds+s2m+preint; per-keyframe "
                 "(~1 in 5 scans): kf_update; lookup/fitmom are components "
