@@ -16,12 +16,17 @@ are in-situ stage costs, including everything the compiler does around
 them:
 
   full        the production program
-  pass        odometry_core -> state passthrough: vmapped prepare +
-              unpack/xyz-reconstruction + scan/carry floor
+  pass        odometry_core -> state passthrough.  NOTE: XLA then dead-code
+              eliminates the entire vmapped prepare (its outputs feed only
+              the core), so this is the unpack + carry/dispatch floor, NOT
+              prepare (CPU smoke: compile 2.5 s vs 77 s full).
   no_s2m      registration.scan_to_map_voxel -> initial guess: full minus
               in-situ scan-to-map
   no_insert   _insert_keyframe -> pose-only update: full minus the whole
               keyframe path (kf_update + graph append + local-map merge)
+  no_both     both stubs: prepare + ESKF/integration floor.  full - no_both
+              = combined in-situ s2m + keyframe path; no_both - pass =
+              prepare + ESKF (in situ, with only their true consumers)
 
 Each variant is a fresh ~10 min remote compile; run serially, host idle.
 Usage: python scripts/core_bisect.py [--windows 6] [--window-size 32]
@@ -46,7 +51,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--windows", type=int, default=6)
     ap.add_argument("--window-size", type=int, default=32)
-    ap.add_argument("--variants", default="full,pass,no_s2m,no_insert")
+    ap.add_argument("--variants", default="full,pass,no_s2m,no_insert,no_both")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--horizon", type=int, default=1800,
                     help="shrink for CPU smoke tests of the probe itself")
@@ -104,24 +109,40 @@ def main():
     orig_s2m = R.scan_to_map_voxel
     orig_insert = M._insert_keyframe
 
+    def s2m_stub(cx, cm, sx, sm, cvox, svox, init6, **kw):
+        return types.SimpleNamespace(
+            pose=init6, degenerate=jnp.asarray(False),
+            iterations=jnp.asarray(0, jnp.int32))
+
+    def insert_stub(s, pose6, st, c, su, ps, pp):
+        return s._replace(pose6=pose6)
+
+    last = ["full"]  # warm-up compiled the production program
+
     def set_variant(name):
+        if name == last[0]:
+            return
+        last[0] = name
         M.odometry_core = orig_core
         R.scan_to_map_voxel = orig_s2m
         M._insert_keyframe = orig_insert
         if name == "pass":
             M.odometry_core = lambda s, ps, pp: (s, M._passthrough_output(s))
         elif name == "no_s2m":
-            def stub(cx, cm, sx, sm, cvox, svox, init6, **kw):
-                return types.SimpleNamespace(
-                    pose=init6, degenerate=jnp.asarray(False),
-                    iterations=jnp.asarray(0, jnp.int32))
-            R.scan_to_map_voxel = stub
+            R.scan_to_map_voxel = s2m_stub
         elif name == "no_insert":
-            M._insert_keyframe = (
-                lambda s, pose6, st, c, su, ps, pp: s._replace(pose6=pose6))
+            M._insert_keyframe = insert_stub
+        elif name == "no_both":
+            R.scan_to_map_voxel = s2m_stub
+            M._insert_keyframe = insert_stub
         elif name != "full":
             raise SystemExit(f"unknown variant {name}")
-        window_fn.clear_cache()
+        # the stubs are reached through the INNER jitted
+        # odometry_window_packed; clearing only window_fn's cache would reuse
+        # its cached jaxpr and silently measure the unstubbed program.  Skipped
+        # when the variant is unchanged (lets the "full" run reuse the
+        # warm-up's ~10 min remote compile).
+        jax.clear_caches()
 
     def sync(outs):
         return float(np.asarray(outs.pose6).reshape(-1)[-1])
@@ -132,12 +153,12 @@ def main():
         state = jax.tree_util.tree_map(jnp.copy, state0)
         jax.block_until_ready(state)
         t0 = time.perf_counter()
-        state, outs = window_fn(state, staged[0], p)   # compile + warm
+        state, outs = window_fn(state, staged[0], lio.p)   # compile + warm
         sync(outs)
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         for f in staged[1:]:
-            state, outs = window_fn(state, f, p)
+            state, outs = window_fn(state, f, lio.p)
         sync(outs)
         ms = 1000.0 * (time.perf_counter() - t0) / N
         results[name] = {"execute_ms_per_window": round(ms, 2),

@@ -45,9 +45,7 @@ def main():
                     help="vmap each probed stage over a W-slot batch (the "
                          "window program runs the scan-local prepare phase "
                          "vmapped over the dispatch window; batched lowering "
-                         "can differ wildly from the single-scan one — the "
-                         "round-3 core bisect found the W=32 execute floor "
-                         "almost entirely in the vmapped prefix). Only "
+                         "can differ wildly from the single-scan one). Only "
                          "scan-local stages are meaningful batched.")
     args = ap.parse_args()
 

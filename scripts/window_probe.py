@@ -110,7 +110,7 @@ def main():
     if not args.skip_upload:
         t0 = time.perf_counter()
         for w in packed:
-            state, outs = window_fn(state, jnp.asarray(w), p)
+            state, outs = window_fn(state, jnp.asarray(w), lio.p)
         sync(outs)
         results["upload_ms_per_window"] = (1000.0
                                            * (time.perf_counter() - t0) / N)
@@ -120,7 +120,7 @@ def main():
     jax.block_until_ready(staged)
     t0 = time.perf_counter()
     for f in staged:
-        state, outs = window_fn(state, f, p)
+        state, outs = window_fn(state, f, lio.p)
     sync(outs)
     results["execute_ms_per_window"] = 1000.0 * (time.perf_counter() - t0) / N
 
