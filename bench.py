@@ -67,11 +67,12 @@ def main():
     from msst_tpu.utils import sim
 
     n_scan, horizon = 16, 1800
-    # window=32 measured best end-to-end once the range-image upload cut
-    # transfer bytes 3.9x: the fixed ~60 ms/window dispatch+transfer
-    # overhead amortizes to ~1.9 ms/scan (W=16: 86.9 scans/s, W=32: 100.5;
-    # docs/DESIGN.md round 3)
-    window = int(os.environ.get("MSST_BENCH_WINDOW", "32"))
+    # window=64 measured best end-to-end once the range-image upload cut
+    # transfer bytes 3.9x: the fixed dispatch+transfer overhead amortizes to
+    # ~1.2 ms/scan and the vmapped prepare lowers slightly better too
+    # (W=16: 86.9 scans/s; W=32: 8.79 ms/scan full / 6.44 execute; W=64:
+    # 7.32 full / 6.12 execute — window probes, docs/DESIGN.md round 3)
+    window = int(os.environ.get("MSST_BENCH_WINDOW", "64"))
 
     def params(loop):
         return LioParams(

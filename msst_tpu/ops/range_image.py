@@ -72,21 +72,30 @@ def _interp_rotation(times: Array, rots: Array, n_valid: Array, t_query: Array) 
 
     Matches ``findRotation`` :446-471: clamp to last sample beyond the window,
     take front sample if query precedes the window.
+
+    Form: the clamped piecewise-linear interpolant is the CUMULATIVE of its
+    per-segment increments, ``r(q) = rots[0] + sum_t w_t(q) (rots[t] -
+    rots[t-1])`` with ``w_t = clip((q - t_{t-1}) / dt_t, 0, 1)`` — queries
+    before the window get all-zero weights (= rots[0]) and queries beyond it
+    all-one weights (= last valid sample), the reference's clamps.  This
+    needs NO index gathers: bracket-search variants pay 4 row gathers per
+    query (~per-row overhead dominates 28.8k-point gathers on v5e), while
+    here the (N, T) weight matrix contracts with the (T, 3) increments on
+    the MXU, and the (N, T) broadcast work already existed as the bracket
+    comparison sum.
     """
-    # one-shot bracket search over the valid prefix (invalid tail is +inf):
-    # the timeline is short (~2T+2 entries), so summing comparisons is one
-    # fused VPU pass, while jnp.searchsorted's dependent-gather binary search
-    # costs ~1.8 ms for 28.8k queries on v5e (the frontend's hottest op)
-    t_safe = jnp.where(jnp.arange(times.shape[0]) < n_valid, times, jnp.inf)
-    hi = jnp.sum((t_safe <= t_query[..., None]).astype(jnp.int32), axis=-1)
-    hi = jnp.clip(hi, 1, jnp.maximum(n_valid - 1, 1))
-    lo = hi - 1
-    t0, t1 = t_safe[lo], t_safe[hi]
-    w = jnp.clip((t_query - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
-    r = rots[lo] + w[..., None] * (rots[hi] - rots[lo])
-    # Before the window start -> first sample's rotation (= 0), matching ref.
-    r = jnp.where((t_query < t_safe[0])[..., None], rots[0], r)
-    return r
+    T = times.shape[0]
+    valid = jnp.arange(T) < n_valid
+    t_safe = jnp.where(valid, times, jnp.inf)
+    t_prev = jnp.concatenate([t_safe[:1], t_safe[:-1]])
+    inc = rots - jnp.concatenate([rots[:1], rots[:-1]])     # (T, 3), inc[0]=0
+    inc = jnp.where(valid[:, None], inc, 0.0)
+    w = jnp.clip((t_query[..., None] - t_prev)
+                 / jnp.maximum(t_safe - t_prev, 1e-9), 0.0, 1.0)
+    # invalid lanes: t_prev may be inf - inf = nan there; they carry inc = 0
+    # but nan * 0 = nan, so zero the weights explicitly
+    w = jnp.where(valid, w, 0.0)
+    return rots[0] + w @ inc
 
 
 def deskew(

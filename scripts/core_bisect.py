@@ -98,10 +98,11 @@ def main():
     staged = [jax.device_put(w) for w in packed]
     jax.block_until_ready(staged)
     from msst_tpu.models.liosam.mapping import (odometry_window_flat_ri,
-                                                ri_flat_width)
-    assert p.quantized_upload and packed[0].shape[1] == ri_flat_width(p), \
-        "probe expects the range-image upload path (bench default)"
-    window_fn = odometry_window_flat_ri
+                                                odometry_window_flat_ri2,
+                                                select_window_fn)
+    window_fn = select_window_fn(lio.p, packed[0])
+    assert window_fn in (odometry_window_flat_ri, odometry_window_flat_ri2), \
+        "probe expects a range-image upload path (bench default)"
 
     state0 = lio.state
 

@@ -46,8 +46,6 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from msst_tpu.models.liosam.mapping import (odometry_window_flat,
-                                                odometry_window_flat_q16)
     from msst_tpu.models.liosam.params import LioParams
     from msst_tpu.models.liosam.pipeline import LioSam
     from msst_tpu.utils import sim
@@ -96,14 +94,8 @@ def main():
     for i in range((N + 2) * window, (2 * N + 2) * window, window):
         flat_w, _, _ = lio._pack_window(dicts(data[i:i + window]))
         packed.append(flat_w)
-    from msst_tpu.models.liosam.mapping import (odometry_window_flat_ri,
-                                                ri_flat_width)
-    if p.quantized_upload and packed[0].shape[1] == ri_flat_width(p):
-        window_fn = odometry_window_flat_ri
-    elif p.quantized_upload:
-        window_fn = odometry_window_flat_q16
-    else:
-        window_fn = odometry_window_flat
+    from msst_tpu.models.liosam.mapping import select_window_fn
+    window_fn = select_window_fn(lio.p, packed[0])
 
     # --- phase UPLOAD: fresh upload per window, dispatches chained
     state = lio.state  # direct window_fn calls donate these buffers

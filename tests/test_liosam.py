@@ -441,7 +441,7 @@ def test_range_image_upload_matches_xyz_path(dataset):
     elevation, xyz reconstructed in-program) must track the quantized-xyz
     window path: the only differences are the 4 mm range quantization vs
     3.9 mm per-axis xyz quantization."""
-    from msst_tpu.models.liosam.mapping import ri_flat_width
+    from msst_tpu.models.liosam.mapping import ri2_flat_len
 
     def run_windowed(use_ri):
         keys = ("xyz", "ring", "time_rel", "scan_start", "imu_t", "imu_gyro",
@@ -452,16 +452,51 @@ def test_range_image_upload_matches_xyz_path(dataset):
         for i in range(0, len(dataset), 4):
             lio.process_window([{k: s[k] for k in keys}
                                 for s in dataset[i:i + 4]])
-        if use_ri:  # the RI program actually ran (buffer width is the tell)
+        if use_ri:  # the RI program actually ran (buffer layout is the
+            # tell; the sim's grids are window-constant -> hoisted 1-D)
             w, _, _ = lio._pack_window(
                 [{k: dataset[0][k] for k in keys}])
-            assert w.shape[1] == ri_flat_width(lio.p)
+            assert w.ndim == 1 and w.shape[0] == ri2_flat_len(lio.p, 4)
         return lio.trajectory.as_matrices()[:, :3, 3]
 
     a = run_windowed(False)
     b = run_windowed(True)
     # mm-scale input quantization differences get amplified through the
     # estimator at tiny caps; 25-scan divergence stays under a decimeter
+    assert np.abs(a - b).max() < 0.08, np.abs(a - b).max()
+
+
+def test_range_image_grid_jitter_falls_back_to_per_scan(dataset):
+    """A source whose azimuth grid jitters between scans cannot share one
+    grid block per window: the packer must fall back to the per-scan
+    range-image layout.  The jitter here is an epsilon azimuth shift
+    (1e-6 rad ~ 20 um at 20 m — physically invisible), so both runs see
+    the same scene and the trajectories must agree."""
+    keys = ("xyz", "ring", "time_rel", "scan_start", "imu_t", "imu_gyro",
+            "imu_acc", "imu_rpy", "ranges", "azimuth", "col_time", "elev")
+
+    def run(jitter):
+        lio = LioSam(tiny_params(loop_closure_enabled=False), window=4)
+        dims = []
+        for i in range(0, len(dataset), 4):
+            batch = []
+            for j, s in enumerate(dataset[i:i + 4]):
+                d = {k: s[k] for k in keys}
+                if jitter and j % 2 == 1:
+                    d["azimuth"] = (np.asarray(d["azimuth"], np.float32)
+                                    + np.float32(1e-6))
+                batch.append(d)
+            w, times, prev = lio._pack_window(batch)
+            dims.append(w.ndim)
+            lio._dispatch_window(w, times, prev)
+        return lio.trajectory.as_matrices()[:, :3, 3], dims
+
+    a, da = run(False)
+    b, db = run(True)
+    assert all(n == 1 for n in da)            # constant grids -> hoisted
+    # jitter -> per-scan layout (a trailing 1-scan window trivially hoists)
+    assert all(n == 2 for n in db[:-1]) and len(db) > 1, db
+    # same physical scene, two packings: divergence stays at noise level
     assert np.abs(a - b).max() < 0.08, np.abs(a - b).max()
 
 
@@ -494,20 +529,28 @@ def test_gps_pose_covariance_gate(dataset):
     lio = LioSam(p)
     gt0 = dataset[0]["gt_pose"][:3, 3]
 
-    def feed(s, t_shift=0.0, starve=False):
+    def feed(s, t_shift=0.0, starve=False, gps=True):
         dt = t_shift
         xyz = np.zeros((0, 3), np.float32) if starve else s["xyz"]
         ring = np.zeros(0, np.int32) if starve else s["ring"]
         trel = np.zeros(0, np.float32) if starve else s["time_rel"]
+        kw = {}
+        if gps:
+            kw = dict(gps_xyz=(s["gt_pose"][:3, 3] - gt0).astype(np.float32),
+                      gps_sigma=np.full(3, 0.5, np.float32))
         lio.process_scan(
             xyz, ring, trel, s["scan_start"] + dt,
             imu_t=s["imu_t"] + dt, imu_gyro=s["imu_gyro"],
-            imu_acc=s["imu_acc"], imu_rpy=s["imu_rpy"],
-            gps_xyz=(s["gt_pose"][:3, 3] - gt0).astype(np.float32),
-            gps_sigma=np.full(3, 0.5, np.float32),
+            imu_acc=s["imu_acc"], imu_rpy=s["imu_rpy"], **kw,
         )
 
-    for s in dataset[:15]:
+    # no GPS during the dynamic-init boot window: the bootstrap REPLAYS the
+    # first 8 scans on a reset (legitimately uncertain) filter, where the
+    # gate may correctly open for a borderline scan — the confident-tracking
+    # assertion below is about the converged estimator
+    for s in dataset[:8]:
+        feed(s, gps=False)
+    for s in dataset[8:15]:
         feed(s)
     cov_confident = float(np.trace(np.asarray(lio.state.filter.cov)[6:9, 6:9]))
     assert cov_confident < p.pose_cov_threshold
