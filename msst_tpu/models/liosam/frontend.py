@@ -101,7 +101,59 @@ def run_frontend(scan: ScanInput, p, vel_body: Array | None = None,
                      column_mode="counter" if getattr(p, "sensor", "velodyne")
                      == "livox" else "azimuth")
     ext = ri.extract_rings(img)
+    return _loam_features(ext, p)
 
+
+def run_frontend_grid(rng_grid: Array, az: Array, tcol: Array, elev: Array,
+                      scan_start: Array, imu_t: Array, imu_gyro: Array,
+                      imu_acc: Array, imu_mask: Array, imu_available: Array,
+                      p, carry_time: bool = False) -> FrontendOutput:
+    """:func:`run_frontend` for a scan shipped AS a range image (ranges grid
+    (S, H) + azimuth (H,) / col_time (H,) / elevation (S,) firing pattern —
+    the host upload layout of ``mapping.odometry_window_flat_ri{,2}``).
+
+    For grid input the projection (``projectPointCloud``,
+    ``imageProjection.cpp:544-562``) is the identity: row = ring index,
+    column = grid column, exactly one point per pixel — so the xyz path's
+    reconstruct-point-rows -> re-project round trip (materialize (N, 5)
+    rows, scatter-min winners, wide row gather) vanishes, and the deskew
+    rotation interpolates once per COLUMN (all rings of a column share a
+    firing time) instead of per point.  This also matches the reference
+    MORE closely than the xyz path: ``columnIdn`` there is computed from
+    the RAW azimuth before deskew — which is precisely the grid column —
+    whereas re-projecting deskewed points bins by the rotated azimuth.
+    """
+    S, H = rng_grid.shape
+    imu_win = ri.ImuWindow(imu_t, imu_gyro, imu_acc, imu_mask)
+    times, rots = ri.imu_rotation_timeline(imu_win)
+    n_imu = jnp.sum(imu_mask.astype(jnp.int32))
+
+    ce, se = jnp.cos(elev), jnp.sin(elev)                   # (S,)
+    ca, sa = jnp.cos(az), jnp.sin(az)                       # (H,)
+    xyz = jnp.stack([rng_grid * (ce[:, None] * ca[None, :]),
+                     rng_grid * (ce[:, None] * sa[None, :]),
+                     rng_grid * se[:, None]], axis=-1)      # (S, H, 3)
+    deskewed = ri.deskew_grid(
+        xyz, tcol, times, rots, n_imu, t_start=scan_start,
+        enabled=imu_available & (n_imu > 1))
+
+    # range/ring gates of projectPointCloud :521-543 (pad pixels carry
+    # range 0 -> culled by the min-range gate, like the xyz path's zero rows)
+    valid = (rng_grid >= p.lidar_min_range) & (rng_grid <= p.lidar_max_range)
+    if p.downsample_rate > 1:
+        valid &= (jnp.arange(S, dtype=jnp.int32)
+                  % p.downsample_rate == 0)[:, None]
+    attrs = (jnp.broadcast_to(tcol[None, :, None], (S, H, 1))
+             if carry_time else jnp.zeros((S, H, 0), rng_grid.dtype))
+    img = ri.RangeImage(jnp.where(valid, rng_grid, jnp.inf), deskewed,
+                        attrs, valid)
+    ext = ri.extract_rings(img)
+    return _loam_features(ext, p)
+
+
+def _loam_features(ext, p) -> FrontendOutput:
+    """Shared feature tail (``featureExtraction.cpp``): LOAM corner/surface
+    selection over the packed rings + per-ring surface voxel downsample."""
     # --- LOAM features (NMS variant by default; see features.py docstring)
     if getattr(p, "feature_method", "nms") == "exact":
         masks = F.extract_features(ext, p.edge_threshold, p.surf_threshold)

@@ -33,7 +33,7 @@ from ...ops import imu as imu_ops
 from ...ops import knn, registration, se3, voxel
 from ...ops.pointcloud import Cloud
 from . import imu_fusion
-from .frontend import ScanInput, run_frontend
+from .frontend import ScanInput, run_frontend, run_frontend_grid
 from .params import LioParams
 from .state import KeyframeStore, LioState
 
@@ -167,6 +167,11 @@ def odometry_window_packed(state: LioState, points_w: Array, aux_w: Array,
         lambda pts, aux: prepare_scan(unpack_step_input(pts, aux, p), p)
     )(points_w, aux_w)
     valid_w = aux_w[:, 2 * T, 7] > 0.5
+    return _window_core(state, preps, valid_w, p)
+
+
+def _window_core(state: LioState, preps, valid_w: Array, p: LioParams):
+    """Sequential estimator core over a window of prepared scans."""
 
     def body(st, pv):
         ps, valid = pv
@@ -179,6 +184,27 @@ def odometry_window_packed(state: LioState, points_w: Array, aux_w: Array,
         return st, out
 
     return jax.lax.scan(body, state, (preps, valid_w))
+
+
+def odometry_window_grids(state: LioState, r: Array, az: Array, tcol: Array,
+                          elev: Array, aux_w: Array, p: LioParams):
+    """:func:`odometry_window_packed` fed by range-image grids directly:
+    the vmapped prepare runs the grid frontend (no point-row
+    reconstruction / re-projection).  az/tcol (H,) and elev (S,) may be
+    window-shared (the ri2 hoisted layout) or per-scan (W, ·).
+
+    r: (W, S*H);  aux_w: (W, 2T+3, 8)
+    """
+    T = p.imu_window
+    W = r.shape[0]
+    r3 = r.reshape(W, p.n_scan, p.horizon_scan)
+    ax = 0 if az.ndim == 2 else None
+    preps = jax.vmap(
+        lambda rg, a, t, e, aux: prepare_scan_grid(rg, a, t, e, aux, p),
+        in_axes=(0, ax, ax, ax, 0),
+    )(r3, az, tcol, elev, aux_w)
+    valid_w = aux_w[:, 2 * T, 7] > 0.5
+    return _window_core(state, preps, valid_w, p)
 
 
 POINT_QUANT = (256.0, 256.0, 256.0, 16384.0, 1.0)  # per-column int16 scales:
@@ -255,15 +281,16 @@ def odometry_window_flat_ri(state: LioState, flat_w: Array, p: LioParams):
     elev = f32_block(S)                                         # (W, S)
     aux_w = f32_block((2 * T + 3) * 8).reshape(W, 2 * T + 3, 8)
 
-    return odometry_window_packed(
-        state, _ri_points(r, az, tcol, elev, p), aux_w, p)
+    return odometry_window_grids(state, r, az, tcol, elev, aux_w, p)
 
 
 def _ri_points(r: Array, az: Array, tcol: Array, elev: Array,
                p: LioParams) -> Array:
     """Reconstruct the packed (W, max_points, 5) point rows from per-pixel
     ranges (W, S*H), per-column azimuth/time (W, H) and per-ring elevation
-    (W, S) — ``x = r (cos e cos a, cos e sin a, sin e)``."""
+    (W, S) — ``x = r (cos e cos a, cos e sin a, sin e)``.  (Kept for the
+    probes and the xyz-path comparison tests; the dispatch path now feeds
+    the grids straight to the grid frontend, odometry_window_grids.)"""
     W = r.shape[0]
     S, H = p.n_scan, p.horizon_scan
     n_pix = S * H
@@ -331,13 +358,12 @@ def odometry_window_flat_ri2(state: LioState, flat_w: Array, p: LioParams):
         a = jax.lax.bitcast_convert_type(
             flat_w[off:off + 2 * width].reshape(width, 2), jnp.float32)
         off += 2 * width
-        return jnp.broadcast_to(a[None], (W, width))
+        return a
 
-    az = f32_block(H)
+    az = f32_block(H)        # (H,) — window-shared, vmapped with in_axes=None
     tcol = f32_block(H)
     elev = f32_block(S)
-    return odometry_window_packed(
-        state, _ri_points(r, az, tcol, elev, p), aux_w, p)
+    return odometry_window_grids(state, r, az, tcol, elev, aux_w, p)
 
 
 def select_window_fn(p: LioParams, flat_w):
@@ -940,6 +966,23 @@ def prepare_scan(inp: StepInput, p: LioParams) -> PreparedScan:
     downsample (``downsampleCurrentScan`` :955-967), zero-bias IMU
     preintegration."""
     front = run_frontend(inp.scan, p, carry_time=True)
+    return _prepare_tail(front, inp, p)
+
+
+def prepare_scan_grid(r_grid: Array, az: Array, tcol: Array, elev: Array,
+                      aux: Array, p: LioParams) -> PreparedScan:
+    """:func:`prepare_scan` for a scan shipped as a range image: the grid
+    frontend (frontend.run_frontend_grid) replaces reconstruct-then-project.
+    aux carries everything non-point (same layout as unpack_step_input)."""
+    inp = unpack_step_input(jnp.zeros((0, 5), jnp.float32), aux, p)
+    front = run_frontend_grid(
+        r_grid, az, tcol, elev, inp.scan.scan_start, inp.scan.imu_t,
+        inp.scan.imu_gyro, inp.scan.imu_acc, inp.scan.imu_mask,
+        inp.scan.imu_available, p, carry_time=True)
+    return _prepare_tail(front, inp, p)
+
+
+def _prepare_tail(front, inp: StepInput, p: LioParams) -> PreparedScan:
     corner_ds = voxel.voxel_downsample(front.corner,
                                        p.mapping_corner_leaf_size,
                                        capacity=p.scan_corner_cap)

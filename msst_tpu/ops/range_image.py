@@ -144,6 +144,33 @@ def deskew(
     return jnp.where(on, out, xyz)
 
 
+def deskew_grid(
+    xyz: Array,
+    col_time: Array,
+    imu_times: Array,
+    imu_rots: Array,
+    n_valid: Array,
+    t_start: Array,
+    enabled: Array | bool = True,
+) -> Array:
+    """:func:`deskew` for a range-image grid (S, H, 3) whose firing time is
+    per COLUMN (col_time (H,), relative to t_start): all rings of a column
+    share one timestamp, so the rotation interpolation runs once per column
+    (H queries instead of S*H) and the start-relative rotation broadcasts
+    over rings.  Same ``findRotation``/``deskewPoint`` semantics
+    (``imageProjection.cpp:446-519``) as the per-point path.
+    """
+    rot_t = _interp_rotation(imu_times, imu_rots, n_valid,
+                             t_start + col_time)                  # (H, 3)
+    rot_s = _interp_rotation(imu_times, imu_rots, n_valid,
+                             jnp.reshape(t_start, (1,)))          # (1, 3)
+    q_t = se3.quat_from_rpy(rot_t)
+    q_s = se3.quat_from_rpy(rot_s)
+    q_bt = se3.quat_mul(se3.quat_conj(q_s), q_t)                  # (H, 4)
+    out = se3.quat_rotate(q_bt, xyz)                              # (S, H, 3)
+    return jnp.where(jnp.asarray(enabled), out, xyz)
+
+
 class RangeImage(NamedTuple):
     """Projected scan.
 

@@ -119,6 +119,33 @@ def test_deskew_constant_rotation():
     np.testing.assert_allclose(np.asarray(out), pts0, atol=2e-3)
 
 
+def test_deskew_grid_matches_per_point():
+    """deskew_grid (one rotation per column, broadcast over rings) must equal
+    the per-point path on the same grid: identical math, restructured."""
+    T, S, H = 24, 6, 50
+    t = np.linspace(0.0, 0.1, T).astype(np.float32)
+    gyro = RNG.normal(size=(T, 3)).astype(np.float32) * 0.5
+    imu = ri.ImuWindow(jnp.asarray(t), jnp.asarray(gyro), jnp.zeros((T, 3)),
+                       jnp.ones(T, bool))
+    times, rots = ri.imu_rotation_timeline(imu)
+    xyz = RNG.normal(size=(S, H, 3)).astype(np.float32) * 5.0
+    # columns spanning before/inside/past the IMU window (clamp paths)
+    tcol = np.linspace(-0.01, 0.13, H).astype(np.float32)
+    t0 = jnp.asarray(0.0)
+
+    grid = ri.deskew_grid(jnp.asarray(xyz), jnp.asarray(tcol), times, rots,
+                          jnp.asarray(T), t_start=t0)
+    flat = ri.deskew(jnp.asarray(xyz.reshape(-1, 3)),
+                     jnp.asarray(np.tile(tcol, S)), times, rots,
+                     jnp.asarray(T), t_start=t0)
+    np.testing.assert_allclose(np.asarray(grid).reshape(-1, 3),
+                               np.asarray(flat), atol=1e-5)
+    # disabled -> passthrough, like the per-point path
+    off = ri.deskew_grid(jnp.asarray(xyz), jnp.asarray(tcol), times, rots,
+                         jnp.asarray(T), t_start=t0, enabled=False)
+    np.testing.assert_allclose(np.asarray(off), xyz, atol=0)
+
+
 def test_deskew_disabled_passthrough():
     T = 10
     t = np.linspace(0, 0.1, T).astype(np.float32)
