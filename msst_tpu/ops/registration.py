@@ -270,6 +270,17 @@ def scan_to_map_voxel(
     ``mapOptmization.cpp:1292-1310``)."""
     from . import voxelmap
 
+    # one fused query set: rows [0, Qc) are corners (point-to-line residual
+    # against the corner map), the rest surfaces (point-to-plane against the
+    # surf map).  The GN loop is sequential per window slot, so halving the
+    # op count (one lookup/residual/jacobian/matmul chain instead of two)
+    # is wall-clock directly.
+    Qc = corner_scan.shape[0]
+    pts = jnp.concatenate([corner_scan, surf_scan], axis=0)
+    pmask = jnp.concatenate([corner_mask, surf_mask], axis=0)
+    is_c = jnp.arange(pts.shape[0]) < Qc
+    rng_q = jnp.linalg.norm(pts, axis=1)
+
     if use_pallas:
         from .voxelmap_pallas import lookup_pallas, prepare_tables
 
@@ -277,65 +288,67 @@ def scan_to_map_voxel(
         _tables = {"c": prepare_tables(corner_vmap),
                    "s": prepare_tables(surf_vmap)}
 
-        def _lookup(which, vm, q, m):
-            return lookup_pallas(_tables[which], q, m)
+        def _lookup(w):
+            ch = lookup_pallas(_tables["c"], w[:Qc], pmask[:Qc])
+            sh = lookup_pallas(_tables["s"], w[Qc:], pmask[Qc:])
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), ch, sh)
     else:
-        def _lookup(which, vm, q, m):
-            return voxelmap.lookup(vm, q, m)
+        def _lookup(w):
+            return voxelmap.lookup_cat(corner_vmap, surf_vmap, w, pmask, Qc)
 
     freeze = reassoc_rot > 0.0 or reassoc_trans > 0.0
 
     def step(pose, P, degenerate, it, assoc, pose_ref):
         R, dRr, dRp, dRy = _rot_and_derivs(pose[:3])
         t = pose[3:]
-        cw = corner_scan @ R.T + t
-        sw = surf_scan @ R.T + t
+        w = pts @ R.T + t
 
         if freeze:
             need = ((it == 0)
                     | (jnp.max(jnp.abs(pose[:3] - pose_ref[:3])) > reassoc_rot)
                     | (jnp.max(jnp.abs(pose[3:] - pose_ref[3:]))
                        > reassoc_trans))
-            chit, shit, pose_ref = jax.lax.cond(
-                need,
-                lambda: (_lookup("c", corner_vmap, cw, corner_mask),
-                         _lookup("s", surf_vmap, sw, surf_mask), pose),
-                lambda: (assoc[0], assoc[1], pose_ref),
-            )
+            hit, pose_ref = jax.lax.cond(
+                need, lambda: (_lookup(w), pose), lambda: (assoc, pose_ref))
         else:
-            chit = _lookup("c", corner_vmap, cw, corner_mask)
-            shit = _lookup("s", surf_vmap, sw, surf_mask)
-        assoc = (chit, shit)
-        cgrad, cr, cok = voxelmap.line_residuals(corner_vmap, cw, chit)
-        cs = 1.0 - 0.9 * jnp.abs(cr)
-        cm = corner_mask & cok & (cs > 0.1)
-        cn = cgrad * cs[:, None]
-        cd = cs * cr
+            hit = _lookup(w)
+        assoc = hit
 
-        snrm, sr, sok = voxelmap.plane_residuals(surf_vmap, sw, shit)
-        rng = jnp.linalg.norm(surf_scan, axis=1)
-        ss = 1.0 - 0.9 * jnp.abs(sr) / jnp.sqrt(jnp.sqrt(jnp.maximum(rng, 1e-6)))
-        sm = surf_mask & sok & (ss > 0.1)
-        sn = snrm * ss[:, None]
-        sd = ss * sr
+        # corner rows: point-to-line (line_residuals); surf rows: signed
+        # point-to-plane (plane_residuals) — same math, computed on the
+        # fused winner stats and selected per class
+        v = hit.direction
+        delta = w - hit.mean
+        along = jnp.sum(delta * v, axis=1, keepdims=True)
+        perp = delta - along * v
+        rl = jnp.linalg.norm(perp, axis=1)
+        gradl = perp / jnp.maximum(rl, 1e-9)[:, None]
+        rp = jnp.sum(w * v, axis=1) + hit.d
+        r = jnp.where(is_c, rl, rp)
+        n = jnp.where(is_c[:, None], gradl, v)
 
-        def jac(n, pts, m):
-            jr = jnp.stack([
-                jnp.sum(n * (pts @ dRr.T), axis=1),
-                jnp.sum(n * (pts @ dRp.T), axis=1),
-                jnp.sum(n * (pts @ dRy.T), axis=1),
-            ], axis=1)
-            J = jnp.concatenate([jr, n], axis=1)
-            return J * m[:, None].astype(J.dtype)
+        s = jnp.where(
+            is_c, 1.0 - 0.9 * jnp.abs(r),
+            1.0 - 0.9 * jnp.abs(r)
+            / jnp.sqrt(jnp.sqrt(jnp.maximum(rng_q, 1e-6))))
+        m = pmask & hit.found & (s > 0.1)
+        nw = n * s[:, None]
+        d = s * r
 
-        Jc = jac(cn, corner_scan, cm)
-        Js = jac(sn, surf_scan, sm)
-        rc = cd * cm
-        rs = sd * sm
-        H = Jc.T @ Jc + Js.T @ Js
-        g = Jc.T @ rc + Js.T @ rs
-        n_sel = jnp.sum(cm) + jnp.sum(sm)
-        cost = (rc @ rc + rs @ rs) / jnp.maximum(n_sel, 1)
+        jr = jnp.stack([
+            jnp.sum(nw * (pts @ dRr.T), axis=1),
+            jnp.sum(nw * (pts @ dRp.T), axis=1),
+            jnp.sum(nw * (pts @ dRy.T), axis=1),
+        ], axis=1)
+        J = jnp.concatenate([jr, nw], axis=1) * m[:, None].astype(pts.dtype)
+        rr = d * m
+        H = J.T @ J
+        g = J.T @ rr
+        n_sel = jnp.sum(m)
+        cost = (rr @ rr) / jnp.maximum(n_sel, 1)
+        cm = m & is_c
+        sm = m & ~is_c
         dx = -linalg.solve_psd(H, g, damping=1e-6)
 
         def first_iter_P():
@@ -380,7 +393,7 @@ def scan_to_map_voxel(
         )
 
     P0 = jnp.eye(6, dtype=init_pose.dtype)
-    assoc0 = (_empty_hit(corner_scan.shape[0]), _empty_hit(surf_scan.shape[0]))
+    assoc0 = _empty_hit(pts.shape[0])
     state = (init_pose, P0, jnp.asarray(False), jnp.asarray(False),
              jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf),
              jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),

@@ -551,6 +551,53 @@ def lookup(vmap: VoxelFeatureMap, q_xyz: Array, q_mask: Array) -> VoxelLookup:
     )
 
 
+def lookup_cat(vmap_a: VoxelFeatureMap, vmap_b: VoxelFeatureMap,
+               q_xyz: Array, q_mask: Array, n_a: int) -> VoxelLookup:
+    """:func:`lookup` against TWO maps in ONE pass: query rows [0, n_a)
+    probe ``vmap_a`` and the rest ``vmap_b``, with the two probe tables
+    concatenated row-wise (the second class's bucket ids offset by the
+    first table's row count).  Exactly equal to two separate lookups —
+    the win is op count: the scan-to-map GN loop runs sequentially per
+    window slot, so one gather/argmin/winner chain instead of two is
+    wall-clock (per-op overhead, not bytes, dominates at these sizes).
+    """
+    C = PROBE_C
+    Qn = q_xyz.shape[0]
+    is_a = jnp.arange(Qn) < n_a
+    leaf = jnp.where(is_a, vmap_a.leaf, vmap_b.leaf)            # (Q,)
+    origin = jnp.where(is_a[:, None], vmap_a.origin, vmap_b.origin)
+    g = (q_xyz - origin) / leaf[:, None]
+    base = jnp.floor(g).astype(jnp.int32)
+    frac = g - base
+    step = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)
+    combos = jnp.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+                        [1, 1, 0], [1, 0, 1], [0, 1, 1], [1, 1, 1]], jnp.int32)
+    cells = base[:, None, :] + combos[None, :, :] * step[:, None, :]
+
+    hb = jnp.where(is_a[:, None], _hash3(cells, vmap_a.table_size),
+                   _hash3(cells, vmap_b.table_size)
+                   + jnp.int32(vmap_a.table_size))
+    probe_cat = jnp.concatenate([vmap_a.probe, vmap_b.probe], axis=0)
+    rows = probe_cat[hb].reshape(Qn, 8, C, 8)
+    keys = jax.lax.bitcast_convert_type(rows[..., 0], jnp.int32)
+    expect = _coord_key(cells)
+    expect = jnp.where(expect == jnp.int32(2**30), jnp.int32(-1), expect)
+    match = keys == expect[..., None]
+
+    means = rows[..., 1:4]
+    d2 = jnp.sum((means - q_xyz[:, None, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(match & q_mask[:, None, None], d2, jnp.inf)
+    d2f = d2.reshape(Qn, 8 * C)
+    best = jnp.argmin(d2f, axis=1)
+    win = jnp.take_along_axis(rows.reshape(Qn, 8 * C, 8),
+                              best[:, None, None], axis=1)[:, 0]
+    found = jnp.isfinite(jnp.take_along_axis(d2f, best[:, None], axis=1)[:, 0])
+    return VoxelLookup(
+        idx=best.astype(jnp.int32), found=found,
+        mean=win[:, 1:4], direction=win[:, 4:7], d=win[:, 7],
+    )
+
+
 def plane_residuals(vmap: VoxelFeatureMap, q_xyz: Array, hit: VoxelLookup
                     ) -> tuple[Array, Array, Array]:
     """(n, r, ok): signed point-to-plane residual per query against its

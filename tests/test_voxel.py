@@ -127,6 +127,39 @@ def test_voxelmap_origin_grid_no_fragmentation():
     assert bool(np.asarray(hit.found).all())
 
 
+def test_voxelmap_lookup_cat_matches_separate():
+    """lookup_cat (fused two-map probe, one concatenated gather) must equal
+    two separate lookups field for field — different leaf sizes, origins,
+    and table sizes between the two maps."""
+    from msst_tpu.ops import voxelmap
+
+    rng = np.random.default_rng(11)
+    pa = rng.uniform(-8, 8, (4096, 3)).astype(np.float32)
+    pa[:, 2] = 0.03 * rng.standard_normal(4096)               # planar
+    pb = rng.uniform(-6, 6, (2048, 3)).astype(np.float32)
+    pb[:, :2] = np.round(pb[:, :2])                           # line-ish
+    va = voxelmap.build(jnp.asarray(pa), jnp.ones(4096, bool), 0.5, 1024,
+                        "plane", table_size=2048,
+                        origin=jnp.asarray([0.2, -0.1, 0.0]))
+    vb = voxelmap.build(jnp.asarray(pb), jnp.ones(2048, bool), 1.0, 512,
+                        "line", table_size=1024)
+
+    qa = rng.uniform(-8, 8, (512, 3)).astype(np.float32)
+    qb = rng.uniform(-6, 6, (768, 3)).astype(np.float32)
+    ma = rng.random(512) > 0.1
+    mb = rng.random(768) > 0.1
+    ha = voxelmap.lookup(va, jnp.asarray(qa), jnp.asarray(ma))
+    hb = voxelmap.lookup(vb, jnp.asarray(qb), jnp.asarray(mb))
+    cat = voxelmap.lookup_cat(
+        va, vb, jnp.asarray(np.concatenate([qa, qb])),
+        jnp.asarray(np.concatenate([ma, mb])), 512)
+    for field in ("idx", "found", "mean", "direction", "d"):
+        want = np.concatenate([np.asarray(getattr(ha, field)),
+                               np.asarray(getattr(hb, field))])
+        np.testing.assert_array_equal(np.asarray(getattr(cat, field)), want,
+                                      err_msg=field)
+
+
 def test_voxelmap_lookup_pallas_matches_xla():
     """Pallas voxel-feature lookup (interpret mode on CPU) == XLA lookup."""
     import jax
