@@ -286,7 +286,15 @@ class LioSam:
 
     def process_scan(self, xyz, ring, time_rel, scan_start, **sensors):
         """Feed one scan (+ optional imu_t/imu_gyro/imu_acc/imu_rpy/gps_xyz/
-        gps_sigma keyword arrays); returns the StepOutput."""
+        gps_sigma keyword arrays); returns the StepOutput.
+
+        Grid keys (ranges/azimuth/col_time/elev — the window path's
+        range-image upload hint) are accepted and ignored: at window=1 the
+        xyz rows carry the same information, so sources that always attach
+        grids work unchanged at any window size."""
+        sensors = {k: v for k, v in sensors.items()
+                   if k in ("imu_t", "imu_gyro", "imu_acc", "imu_rpy",
+                            "gps_xyz", "gps_sigma")}
         self._join_dispatch()  # never race an in-flight async window
         points, aux = self._make_input(xyz, ring, time_rel, scan_start, **sensors)
         new_state, out = odometry_step_packed(self.state, points, aux, self.p)

@@ -588,3 +588,20 @@ def test_vec6_to_mats_np_matches_se3_oracle():
     got = _vec6_to_mats_np(pose6)
     want = np.asarray(se3.Pose.from_vec6(jnp.asarray(pose6)).to_matrix())
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_process_scan_accepts_grid_keys(dataset):
+    """Grid keys (ranges/azimuth/col_time/elev) select the range-image
+    upload layout in the WINDOW path; at window=1 they must be accepted and
+    ignored, not crash _make_input_np — sources that always attach grids
+    (bench.py, drivers) work at any window size, and _bootstrap_refeed's
+    per-scan re-feed forwards whatever keys the source shipped."""
+    p = tiny_params(loop_closure_enabled=False)
+    lio = LioSam(p, window=1)
+    for s in dataset[:3]:
+        out = lio.process_scan(
+            s["xyz"], s["ring"], s["time_rel"], s["scan_start"],
+            imu_t=s["imu_t"], imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
+            imu_rpy=s["imu_rpy"], ranges=s["ranges"], azimuth=s["azimuth"],
+            col_time=s["col_time"], elev=s["elev"])
+    assert np.isfinite(np.asarray(out.pose6)).all()
