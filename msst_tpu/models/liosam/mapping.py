@@ -983,11 +983,15 @@ def prepare_scan_grid(r_grid: Array, az: Array, tcol: Array, elev: Array,
 
 
 def _prepare_tail(front, inp: StepInput, p: LioParams) -> PreparedScan:
+    # overflow is impossible here (occupied voxels <= input points = the
+    # output capacity), so the uniform-overflow hash key is dead weight
     corner_ds = voxel.voxel_downsample(front.corner,
                                        p.mapping_corner_leaf_size,
-                                       capacity=p.scan_corner_cap)
+                                       capacity=p.scan_corner_cap,
+                                       uniform_overflow=False)
     surf_ds = voxel.voxel_downsample(front.surf, p.mapping_surf_leaf_size,
-                                     capacity=p.scan_surf_cap)
+                                     capacity=p.scan_surf_cap,
+                                     uniform_overflow=False)
     pre = imu_ops.preintegrate(inp.pre_t, inp.pre_gyro, inp.pre_acc,
                                inp.pre_mask, imu_ops.ImuBias.zero(),
                                p.imu_params)

@@ -32,6 +32,7 @@ def voxel_downsample(
     leaf: float,
     capacity: Optional[int] = None,
     extra_key: Optional[Array] = None,
+    uniform_overflow: bool = True,
 ) -> Cloud:
     """Centroid voxel filter.
 
@@ -42,52 +43,79 @@ def voxel_downsample(
     are occupied than capacity, a spatially-uniform pseudo-random subset
     survives (voxels are ordered by a hash of their cell coordinate, so
     overflow thins the cloud evenly instead of chopping off one side).
+    uniform_overflow=False drops that hash key (overflow then chops the
+    highest cell keys) — pass it at call sites where overflow is impossible
+    (output capacity >= input capacity), saving a sort operand.
+
+    The sort cost on TPU scales with operand count, so (extra, cx, cy) pack
+    into ONE int key: extra in [0, 127] (7 bits), cx/cy clamped to +-1024
+    cells (11 bits each; +-205 m at the 0.2 m mapping leaf — beyond any
+    scan-frame cloud, and offline clouds larger than that lose only the
+    beyond-domain points into boundary cells).  cz rides a second key,
+    unclamped.
     """
     n = cloud.capacity
     n_out = capacity or n
     c = voxel_coords(cloud.xyz, leaf)
     invalid = ~cloud.mask
-    cx = jnp.where(invalid, _BIG, c[:, 0])
-    cy = jnp.where(invalid, _BIG, c[:, 1])
-    cz = jnp.where(invalid, _BIG, c[:, 2])
-    # spatial hash as the primary order (coords as tiebreakers keep distinct
-    # voxels separate under hash collisions); invalid points sort last
-    h = (c[:, 0] * jnp.int32(73856093)
-         ^ c[:, 1] * jnp.int32(19349663)
-         ^ c[:, 2] * jnp.int32(83492791))
-    h = jnp.where(invalid, jnp.int32(2**31 - 1), h)
-    keys = [h]
+    cxy = jnp.clip(c[:, :2], -1024, 1023)
     if extra_key is not None:
-        keys.append(jnp.where(invalid, _BIG, extra_key))
-    keys += [cx, cy, cz]
+        extra = jnp.clip(extra_key.astype(jnp.int32), 0, 127)
+    else:
+        extra = jnp.int32(0)
+    hi = (extra << 22) | ((cxy[:, 0] + 1024) << 11) | (cxy[:, 1] + 1024)
+    hi = jnp.where(invalid, jnp.int32(2**31 - 1), hi)
+    lo = c[:, 2]
+    if uniform_overflow:
+        # spatial hash as the primary order ((hi, lo) as tiebreakers keep
+        # distinct voxels separate under collisions); invalid points sort
+        # last.  The hash is a pure function of (hi, lo) (clamped coords,
+        # no extra), so equal-(hi, lo) rows always share it.
+        h = (cxy[:, 0] * jnp.int32(73856093)
+             ^ cxy[:, 1] * jnp.int32(19349663)
+             ^ lo * jnp.int32(83492791))
+        h = jnp.where(invalid, jnp.int32(2**31 - 1), h)
+        keys = [h, hi, lo]
+    else:
+        keys = [hi, lo]
+    # Demeaned-by-cell-center residuals computed BEFORE the sort (they ride
+    # the sort network like any value operand) and CLIPPED to half a leaf:
+    # in-domain points are unaffected (their residual is <= leaf/2 by
+    # construction), while clamped far points collapse onto their boundary
+    # cell instead of poisoning the shared prefix sums with huge residuals
+    # (segments.py explains why unbounded prefixes of metric coords are
+    # unusable in f32).
+    cell = jnp.concatenate([cxy, c[:, 2:3]], axis=1)
+    center = (cell.astype(cloud.xyz.dtype) + 0.5) * leaf
+    r = jnp.clip(cloud.xyz - center, -0.5 * leaf, 0.5 * leaf)
+
     # one multi-operand sort (primary key first): the values ride the sort
     # network instead of being re-gathered by an argsort permutation — the
     # same rewrite as voxel_downsample_packed, ~2x at scan sizes on v5e
     A = cloud.attrs.shape[1]
     sorted_ops = jax.lax.sort(
-        (*keys, cloud.mask, cloud.xyz[:, 0], cloud.xyz[:, 1],
-         cloud.xyz[:, 2], *(cloud.attrs[:, j] for j in range(A))),
+        (*keys, r[:, 0], r[:, 1], r[:, 2],
+         *(cloud.attrs[:, j] for j in range(A))),
         num_keys=len(keys))
     nk = len(keys)
-    cs = jnp.stack(sorted_ops[:nk], axis=1)           # (N, K) sorted keys
-    valid_s = sorted_ops[nk]
-    xyz_s = jnp.stack(sorted_ops[nk + 1:nk + 4], axis=1)
-    attrs_s = (jnp.stack(sorted_ops[nk + 4:], axis=1) if A
+    hi_s, lo_s = sorted_ops[nk - 2], sorted_ops[nk - 1]
+    valid_s = hi_s != jnp.int32(2**31 - 1)
+    r_sorted = jnp.stack(sorted_ops[nk:nk + 3], axis=1)
+    attrs_s = (jnp.stack(sorted_ops[nk + 3:], axis=1) if A
                else cloud.attrs)
 
-    new_voxel = jnp.any(cs != jnp.roll(cs, 1, axis=0), axis=1)
+    # (hi, lo) identifies the group; the hash is a function of it
+    new_voxel = ((hi_s != jnp.roll(hi_s, 1))
+                 | (lo_s != jnp.roll(lo_s, 1)))
     new_voxel = new_voxel.at[0].set(True)
     new_voxel = new_voxel & valid_s
     seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1  # voxel index per point
     seg = jnp.where(valid_s, seg, n_out)  # invalid points -> dropped segment
 
-    # Demeaned-by-cell-center residual sums via plain prefix scans: exact
-    # where it matters, fast everywhere (see voxel_downsample_packed /
-    # segments.py).  The last 3 key columns are (cx, cy, cz).
-    cell_s = cs[:, nk - 3:nk]
-    center_s = (cell_s.astype(xyz_s.dtype) + 0.5) * leaf
-    w = valid_s.astype(xyz_s.dtype)[:, None]
-    r_s = (xyz_s - center_s) * w
+    cell_s = jnp.stack([((hi_s >> 11) & 2047) - 1024,
+                        (hi_s & 2047) - 1024, lo_s], axis=1)
+    w = valid_s.astype(r_sorted.dtype)[:, None]
+    r_s = r_sorted * w
     bounds = segments.segment_boundaries(seg, n_out)
     vals = segments.sorted_segment_sum(
         jnp.concatenate([r_s, attrs_s * w, w], axis=1), seg, n_out,
@@ -95,7 +123,7 @@ def voxel_downsample(
     rsums, asums, counts = vals[:, :3], vals[:, 3:-1], vals[:, -1]
     cell_v = segments.sorted_segment_first(cell_s, seg, n_out,
                                            boundaries=bounds)
-    center_v = (cell_v.astype(xyz_s.dtype) + 0.5) * leaf
+    center_v = (cell_v.astype(r_sorted.dtype) + 0.5) * leaf
 
     denom = jnp.maximum(counts, 1.0)[:, None]
     n_voxels = jnp.sum(new_voxel.astype(jnp.int32))

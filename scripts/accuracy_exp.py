@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--noise", type=float, default=0.01,
                     help="lidar range noise sigma [m]")
     ap.add_argument("--imu-noise-scale", type=float, default=1.0)
+    ap.add_argument("--ri", action="store_true",
+                    help="feed the range-image grid keys (the bench's "
+                         "upload path) instead of xyz rows")
     ap.add_argument("--set", action="append", default=[], dest="overrides")
     ap.add_argument("--dump", default=None,
                     help="write per-scan est/gt/err arrays to this .npz")
@@ -81,15 +84,13 @@ def main():
     lio = LioSam(p, window=args.window)
     t0 = time.perf_counter()
     iters = []
+    keys = ("xyz", "ring", "time_rel", "scan_start", "imu_t", "imu_gyro",
+            "imu_acc", "imu_rpy")
+    if args.ri:
+        keys += ("ranges", "azimuth", "col_time", "elev")
     for i in range(0, args.scans, args.window):
         batch = data[i:i + args.window]
-        outs = lio.process_window([
-            dict(xyz=s["xyz"], ring=s["ring"], time_rel=s["time_rel"],
-                 scan_start=s["scan_start"], imu_t=s["imu_t"],
-                 imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
-                 imu_rpy=s["imu_rpy"])
-            for s in batch
-        ])
+        outs = lio.process_window([{k: s[k] for k in keys} for s in batch])
         iters.append(np.asarray(outs.s2m_iterations)[:len(batch)])
     lio.flush()
     wall = time.perf_counter() - t0

@@ -58,6 +58,48 @@ def test_voxel_downsample_extra_key_per_ring():
     assert int(kept.count) == 2
 
 
+def test_voxel_downsample_no_hash_matches_default_set():
+    """uniform_overflow=False (no hash sort key) must produce the same voxel
+    SET and centroids as the default — only the output order may differ."""
+    xyz = RNG.uniform(-4, 4, size=(400, 3)).astype(np.float32)
+    attrs = RNG.uniform(size=(400, 1)).astype(np.float32)
+    cloud = Cloud.create(jnp.asarray(xyz), attrs=jnp.asarray(attrs))
+    a = voxel.voxel_downsample(cloud, leaf=0.5)
+    b = voxel.voxel_downsample(cloud, leaf=0.5, uniform_overflow=False)
+    assert int(a.count) == int(b.count)
+
+    def as_set(out):
+        m = np.asarray(out.mask)
+        rows = np.concatenate([np.asarray(out.xyz)[m],
+                               np.asarray(out.attrs)[m]], axis=1)
+        # align rows by their (noise-free) integer voxel cell, not by the
+        # f32 centroids themselves (summation order differs between the
+        # two sorts, so centroid-keyed ordering would misalign rows)
+        cells = np.floor(rows[:, :3] / 0.5).astype(np.int64)
+        return rows[np.lexsort(cells.T)]
+
+    # the two variants sum each cell's rows in different orders -> f32
+    # noise at the 1e-5 level; anything larger would mean different groups
+    np.testing.assert_allclose(as_set(a), as_set(b), atol=1e-4)
+
+
+def test_voxel_downsample_clamps_far_cells_to_domain_boundary():
+    """Points beyond the +-1024-cell packed cx/cy domain merge into boundary
+    cells instead of aliasing back into the interior."""
+    xyz = np.array([[0.1, 0.1, 0.1],        # interior
+                    [5000.0, 0.1, 0.1],     # far +x: clamps to cx=1023
+                    [9000.0, 0.1, 0.1]],    # even farther: same boundary cell
+                   np.float32)
+    out = voxel.voxel_downsample(Cloud.create(jnp.asarray(xyz)), leaf=1.0)
+    # the two far points merge (both clamped) and collapse onto the boundary
+    # cell (residuals clip to leaf/2 so they cannot poison the prefix sums);
+    # the interior point survives alone, exactly
+    assert int(out.count) == 2
+    got = np.asarray(out.xyz)[np.asarray(out.mask)]
+    assert (np.linalg.norm(got - xyz[0], axis=1) < 1e-5).any()
+    assert (np.abs(got[:, 0] - 1024.0) < 1e-2).any()  # boundary cell edge
+
+
 def test_voxel_downsample_first_keeps_input_order_points():
     xyz = RNG.uniform(-2, 2, size=(200, 3)).astype(np.float32)
     cloud = Cloud.create(jnp.asarray(xyz))
