@@ -8,18 +8,33 @@ Baseline: the reference LIO-SAM's by-design mapping-rate ceiling of
 ~6.67 Hz (mappingProcessInterval = 0.15 s on 4 CPU cores,
 ``liosam_ws/src/LIO-SAM/config/params.yaml:72-73``) — see BASELINE.md.
 
-Two phases, both on VLP-16-sized scans (16 x 1800) from the synthetic world:
+Protocol (round-4 redesign, VERDICT r3 #1):
 
-1. Odometry (primary metric): 80 scans steady-state after warm-up,
-   host->device transfer included.  The trajectory error is GATED: the
-   bench fails (nonzero exit, after printing its JSON) if max drift
-   exceeds the accuracy budget — perf work can never silently trade
-   accuracy again (round-2 VERDICT #2).
-2. Loop closure on (round-2 VERDICT #3/#4): a revisiting drive long enough
-   to open the 30 s loop-age gate, loop program dispatched at its natural
-   1 Hz rate; reports scans/s with loops on + loops closed.  Loop
-   enablement is canonicalized out of the jit key (pipeline.py), so this
-   phase reuses phase 1's compiled programs.
+* The drive length is FIXED (256 scans total incl. one warm-up window,
+  ~51 m at 2 m/s) regardless of window size — round 3 scaled the drive
+  with the window against an absolute error gate, which failed W=64 on
+  protocol design, not estimator quality.
+* Accuracy is gated on BOTH axes that actually measure estimator quality:
+  relative drift (max error / path length, LIO-SAM-class is <=0.5 %/m)
+  and final-pose error.  The gates apply to phase 1 (loop-off) AND
+  phase 2 (loop-on); throughput and accuracy are reported from the SAME
+  runs, and the bench exits nonzero if any gate fails.
+* Latency is a first-class metric (VERDICT r3 #3): p50/p99 scan-to-pose
+  (fill wait at the 10 Hz sensor rate + processing + pose readback) at
+  the throughput window and at a small live window (W=4).  The reference
+  operates at ~0.15 s/scan latency by design (params.yaml:72).
+* The pose-graph LM ms/iter metric (BASELINE.md) is measured on the real
+  phase-2 graph AND at production scale (512/1024-keyframe synthetic
+  ring graphs, dense vs CG — validating the cg_threshold crossover by
+  measurement, VERDICT r3 #6).
+
+Env knobs: MSST_BENCH_WINDOW (default 64), MSST_BENCH_DRIFT_GATE (%/m,
+default 0.5), MSST_BENCH_FINAL_GATE (m, default 0.10),
+MSST_BENCH_LATENCY_WINDOW (default 4, 0 disables the extra compile),
+MSST_BENCH_GRAPH_SCALE (default 1, 0 disables), MSST_BENCH_BUDGET_S
+(default 4200: optional phases 3b/5 are skipped — with a note in the JSON —
+once elapsed wall exceeds the budget, so their extra compiles can never
+starve the primary metrics of their capture window).
 """
 
 from __future__ import annotations
@@ -32,7 +47,9 @@ import time
 import numpy as np
 
 BASELINE_SCANS_PER_SEC = 6.67
-ERR_GATE_M = float(os.environ.get("MSST_BENCH_ERR_GATE", "0.10"))
+DRIFT_GATE_PCT = float(os.environ.get("MSST_BENCH_DRIFT_GATE", "0.5"))
+FINAL_GATE_M = float(os.environ.get("MSST_BENCH_FINAL_GATE", "0.10"))
+SCAN_DT = 0.1  # 10 Hz sensor
 
 
 def _dicts(batch):
@@ -51,28 +68,159 @@ def data_window(data, i, window):
     return _dicts(data[i:i + window])
 
 
-def _traj_err(lio, data):
+def _accuracy(lio, data):
+    """(max_err, final_err, drift_pct_per_m) against ground truth."""
     gt0 = data[0]["gt_pose"][:3, 3]
     gt = np.stack([s["gt_pose"][:3, 3] - gt0 for s in data])
     est = lio.trajectory.as_matrices()[:, :3, 3]
     n = min(len(est), len(gt))
-    return float(np.linalg.norm(est[:n] - gt[:n], axis=1).max())
+    errs = np.linalg.norm(est[:n] - gt[:n], axis=1)
+    path_len = float(np.linalg.norm(np.diff(gt[:n], axis=0), axis=1).sum())
+    drift = 100.0 * float(errs.max()) / max(path_len, 1e-6)
+    return float(errs.max()), float(errs[-1]), drift, path_len
+
+
+def _gate(tag, max_err, final_err, drift, failures):
+    if drift > DRIFT_GATE_PCT:
+        failures.append(f"{tag}: drift {drift:.3f} %/m > {DRIFT_GATE_PCT}")
+    if final_err > FINAL_GATE_M:
+        failures.append(f"{tag}: final err {final_err:.4f} m > {FINAL_GATE_M}")
+
+
+def _lat_stats(proc_ms, window):
+    """Scan-to-pose latency distribution under live 10 Hz arrival: scan i of
+    a window waits (W-1-i) scan periods for the window to fill, then the
+    window's processing+readback time."""
+    lats = []
+    for pm in proc_ms:
+        for i in range(window):
+            lats.append((window - 1 - i) * SCAN_DT * 1000.0 + pm)
+    lats = np.asarray(lats)
+    return {
+        "window": window,
+        "proc_ms_p50": round(float(np.percentile(proc_ms, 50)), 1),
+        "scan_to_pose_ms_p50": round(float(np.percentile(lats, 50)), 1),
+        "scan_to_pose_ms_p99": round(float(np.percentile(lats, 99)), 1),
+    }
+
+
+def _measure_latency(lio, data, window, n_windows):
+    """Synchronous per-window processing latency incl. the pose readback
+    (axon note: block_until_ready can lie; np.asarray forces real data)."""
+    proc = []
+    for w in range(n_windows):
+        batch = data_window(data, w * window, window)
+        if len(batch) < window:
+            break
+        t0 = time.perf_counter()
+        outs = lio.process_window(batch)
+        np.asarray(outs.pose6)  # D2H readback = pose actually available
+        proc.append(1000.0 * (time.perf_counter() - t0))
+    return proc
+
+
+def _make_ring_graph(K, n_extra_loops=8, gps_every=16, seed=0):
+    """Synthetic K-pose ring graph (noisy odometry chain + ring-closing and
+    random loop factors + sparse GPS) for solver timing at production scale.
+    Workload shape mirrors the reference's mapOptmization graph
+    (``mapOptmization.cpp:1381-1495``): prior on pose 0, consecutive
+    betweens, loop betweens, GPS unaries."""
+    import jax
+    import jax.numpy as jnp
+
+    from msst_tpu.ops import graph as G
+    from msst_tpu.ops import se3
+
+    rng = np.random.default_rng(seed)
+    ang = np.linspace(0, 2 * np.pi, K, endpoint=False)
+    radius = K * 0.2 / (2 * np.pi)  # 0.2 m keyframe spacing
+    gt6 = np.zeros((K, 6), np.float32)
+    gt6[:, 2] = ang + np.pi / 2
+    gt6[:, 3] = radius * np.cos(ang)
+    gt6[:, 4] = radius * np.sin(ang)
+    gt = se3.Pose.from_vec6(jnp.asarray(gt6))
+    nxt = jax.tree.map(lambda a: jnp.roll(a, -1, axis=0), gt)
+    chain = gt.between(nxt)  # row i: i -> i+1; row K-1 closes the ring
+    noise = np.concatenate([rng.normal(scale=2e-4, size=(K, 3)),
+                            rng.normal(scale=2e-3, size=(K, 3))],
+                           axis=1).astype(np.float32)
+    chain = chain.compose(se3.Pose.from_vec6(jnp.asarray(noise)))
+
+    nb = K + n_extra_loops
+    li = rng.integers(0, K // 2, size=n_extra_loops)
+    lj = (li + K // 2) % K
+    lmeas = jax.tree.map(lambda a: a[li], gt).between(
+        jax.tree.map(lambda a: a[lj], gt))
+    ng = max(K // gps_every, 1)
+    gidx = np.arange(ng, dtype=np.int32) * gps_every
+
+    g = G.empty_graph(max_poses=K, max_priors=1, max_betweens=nb, max_gps=ng)
+    init = se3.Pose.from_vec6(jnp.asarray(
+        gt6 + np.concatenate([rng.normal(scale=0.01, size=(K, 3)),
+                              rng.normal(scale=0.05, size=(K, 3))],
+                             axis=1).astype(np.float32)))
+    g = g._replace(
+        poses=init, pose_mask=jnp.ones(K, bool),
+        priors=g.priors._replace(
+            idx=jnp.asarray([0], jnp.int32),
+            meas=se3.Pose(gt.q[:1], gt.t[:1]),
+            sqrt_info=jnp.full((1, 6), 1e3), mask=jnp.asarray([True])),
+        betweens=G.BetweenFactor(
+            i=jnp.concatenate([jnp.arange(K, dtype=jnp.int32),
+                               jnp.asarray(li, jnp.int32)]),
+            j=jnp.concatenate([jnp.roll(jnp.arange(K, dtype=jnp.int32), -1),
+                               jnp.asarray(lj, jnp.int32)]),
+            meas=se3.Pose(jnp.concatenate([chain.q, lmeas.q]),
+                          jnp.concatenate([chain.t, lmeas.t])),
+            sqrt_info=jnp.full((nb, 6), 1e2),
+            mask=jnp.ones(nb, bool)),
+        gps=G.GpsFactor(
+            idx=jnp.asarray(gidx),
+            xyz=jnp.asarray(gt6[gidx, 3:]),
+            sqrt_info=jnp.full((ng, 3), 2.0),
+            mask=jnp.ones(ng, bool)),
+    )
+    return g
+
+
+def _time_ms_per_iter(fn, graph):
+    """Two-point chained-in-jit timing: wall(9 iters) - wall(1 iter) / 8
+    removes the fixed dispatch+readback cost (CLAUDE.md measurement rule)."""
+    import jax
+
+    jax.block_until_ready(fn(graph, iters=1).poses.t)  # compile
+    t0 = time.perf_counter()
+    np.asarray(fn(graph, iters=1).poses.t)
+    w1 = time.perf_counter() - t0
+    jax.block_until_ready(fn(graph, iters=9).poses.t)  # compile
+    t0 = time.perf_counter()
+    np.asarray(fn(graph, iters=9).poses.t)
+    w9 = time.perf_counter() - t0
+    return 1000.0 * (w9 - w1) / 8.0
 
 
 def main():
     import jax
+
+    if os.environ.get("MSST_BENCH_CPU") == "1":
+        # protocol debugging on CPU (the axon site hook overrides the
+        # JAX_PLATFORMS env var; the config update works — CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
 
     from msst_tpu.models.liosam import LioSam
     from msst_tpu.models.liosam.params import LioParams
     from msst_tpu.utils import sim
 
     n_scan, horizon = 16, 1800
-    # window=64 measured best end-to-end once the range-image upload cut
-    # transfer bytes 3.9x: the fixed dispatch+transfer overhead amortizes to
-    # ~1.2 ms/scan and the vmapped prepare lowers slightly better too
-    # (W=16: 86.9 scans/s; W=32: 8.79 ms/scan full / 6.44 execute; W=64:
-    # 7.32 full / 6.12 execute — window probes, docs/DESIGN.md round 3)
     window = int(os.environ.get("MSST_BENCH_WINDOW", "64"))
+    lat_window = int(os.environ.get("MSST_BENCH_LATENCY_WINDOW", "4"))
+    budget_s = float(os.environ.get("MSST_BENCH_BUDGET_S", "4200"))
+    bench_start = time.perf_counter()
+
+    def over_budget():
+        return time.perf_counter() - bench_start > budget_s
+
+    failures: list[str] = []
 
     def params(loop):
         return LioParams(
@@ -85,14 +233,14 @@ def main():
     world = sim.World()
     traj = sim.SimTrajectory(kind="circle", radius=10.0, speed=2.0)
 
-    # --- phase 1: odometry-only throughput (primary metric)
-    # n_bench must be a MULTIPLE of the window: a partial window computes
-    # all W slots but only its valid prefix counts, so 80 scans at W=32
-    # (2.5 windows) inflated ms/scan ~17% (r3 measured phase 1 slower than
-    # the longer loop-ON phase for exactly this reason)
-    n_warm, n_bench = window, 3 * window  # warm-up = one full window
-    data = sim.make_dataset(world, traj, n_scans=n_warm + n_bench,
-                            scan_dt=0.1, n_scan=n_scan, horizon=horizon,
+    # --- phase 1: odometry-only throughput (primary metric) on a FIXED
+    # 256-scan drive (~51 m); warm-up = one full window, and the benched
+    # remainder is a multiple of every power-of-two window <= 64 so no
+    # partial-window padding inflates ms/scan
+    n_total = 256
+    n_warm, n_bench = window, n_total - window
+    data = sim.make_dataset(world, traj, n_scans=n_total,
+                            scan_dt=SCAN_DT, n_scan=n_scan, horizon=horizon,
                             seed=7)
     lio = LioSam(params(loop=False), window=window)
     for i in range(0, n_warm, window):
@@ -103,7 +251,7 @@ def main():
     # window's dispatch (fixed ~25-35 ms tunnel cost) runs on the worker
     futs = []
     t0 = time.perf_counter()
-    for i in range(n_warm, n_warm + n_bench, window):
+    for i in range(n_warm, n_total, window):
         futs.append(lio.process_window_async(data_window(data, i, window)))
     outs = futs[-1].result()
     jax.block_until_ready(outs.pose6)
@@ -112,13 +260,15 @@ def main():
     iters = [f.result().s2m_iterations for f in futs]
     iters = [int(i) for i in np.concatenate([np.asarray(x) for x in iters])]
     scans_per_sec = n_bench / wall
-    err = _traj_err(lio, data)
+    max_err, final_err, drift, path_len = _accuracy(lio, data)
+    _gate("odometry", max_err, final_err, drift, failures)
 
     # --- phase 2: loop closure ON over a revisiting drive (the reference's
     # 6.67 Hz ceiling runs WITH its loop thread, mapOptmization.cpp:1770)
     n_loop_scans = 340  # 34 s at 10 Hz: crosses the 30 s loop-age gate
-    data2 = sim.make_dataset(world, traj, n_scans=n_loop_scans, scan_dt=0.1,
-                             n_scan=n_scan, horizon=horizon, seed=8)
+    data2 = sim.make_dataset(world, traj, n_scans=n_loop_scans,
+                             scan_dt=SCAN_DT, n_scan=n_scan, horizon=horizon,
+                             seed=8)
     lio2 = LioSam(params(loop=True), window=window)
     outs2 = _feed(lio2, data2[:window])           # warm (programs cached)
     jax.block_until_ready(outs2.pose6)
@@ -145,23 +295,48 @@ def main():
     loop_timings = {k: round(v, 3) for k, v in lio2.timings.items()}
     loops = int(lio2.state.n_loop)
     loop_scans_per_sec = (n_loop_scans - window) / wall2
-    err2 = _traj_err(lio2, data2)
+    max_err2, final_err2, drift2, _ = _accuracy(lio2, data2)
+    _gate("loop_on", max_err2, final_err2, drift2, failures)
 
-    # --- phase 3: pose-graph LM ms/iter (BASELINE.md tracked metric) on the
+    # --- phase 3: latency (reuses phase 1's compiled W-window programs,
+    # plus one small-window compile for the live-mode number)
+    lat = {}
+    lat_data = sim.make_dataset(world, traj, n_scans=6 * window,
+                                scan_dt=SCAN_DT, n_scan=n_scan,
+                                horizon=horizon, seed=9)
+    lio_lat = LioSam(params(loop=False), window=window)
+    proc = _measure_latency(lio_lat, lat_data, window, 6)
+    lat[f"w{window}"] = _lat_stats(proc[1:], window)  # drop warm-up window
+    if lat_window > 0 and not over_budget():
+        lat_small = sim.make_dataset(world, traj, n_scans=24 * lat_window,
+                                     scan_dt=SCAN_DT, n_scan=n_scan,
+                                     horizon=horizon, seed=9)
+        lio_s = LioSam(params(loop=False), window=lat_window)
+        proc = _measure_latency(lio_s, lat_small, lat_window, 24)
+        lat[f"w{lat_window}"] = _lat_stats(proc[2:], lat_window)
+    elif lat_window > 0:
+        lat[f"w{lat_window}"] = "skipped: over MSST_BENCH_BUDGET_S"
+
+    # --- phase 4: pose-graph LM ms/iter (BASELINE.md tracked metric) on the
     # REAL graph phase 2 built (priors + odometry chain + any loop factors).
-    # Chained-in-jit: two compiles of the same program at iters=1 and
-    # iters=9; the slope is the per-relinearize-and-solve cost.
     from msst_tpu.ops import graph as graph_ops
     g = lio2.state.graph
-    jax.block_until_ready(graph_ops.optimize(g, iters=1).poses.t)
-    t0 = time.perf_counter()
-    jax.block_until_ready(graph_ops.optimize(g, iters=1).poses.t)
-    w1 = time.perf_counter() - t0
-    jax.block_until_ready(graph_ops.optimize(g, iters=9).poses.t)  # compile
-    t0 = time.perf_counter()
-    jax.block_until_ready(graph_ops.optimize(g, iters=9).poses.t)
-    w9 = time.perf_counter() - t0
-    graph_ms_per_iter = 1000.0 * (w9 - w1) / 8.0
+    graph_ms_per_iter = _time_ms_per_iter(graph_ops.optimize, g)
+
+    # --- phase 5: graph solvers at production scale (VERDICT r3 #6):
+    # dense vs CG at 512 and 1024 keyframes — the measured crossover behind
+    # LioParams.cg_threshold
+    graph_scale = {}
+    if os.environ.get("MSST_BENCH_GRAPH_SCALE", "1") != "0":
+        for K in (512, 1024):
+            if over_budget():
+                graph_scale[f"k{K}"] = "skipped: over MSST_BENCH_BUDGET_S"
+                continue
+            gk = _make_ring_graph(K)
+            graph_scale[f"dense_{K}_ms_per_iter"] = round(
+                _time_ms_per_iter(graph_ops.optimize, gk), 3)
+            graph_scale[f"cg_{K}_ms_per_iter"] = round(
+                _time_ms_per_iter(graph_ops.optimize_cg, gk), 3)
 
     result = {
         "metric": "lio_odometry_scans_per_sec",
@@ -172,29 +347,36 @@ def main():
             "ms_per_scan": round(1000.0 * wall / n_bench, 2),
             "mean_s2m_iters": round(sum(iters) / max(len(iters), 1), 1),
             "max_s2m_iters": max(iters) if iters else 0,
-            "max_traj_err_m": round(err, 4),
-            "err_gate_m": ERR_GATE_M,
+            "max_traj_err_m": round(max_err, 4),
+            "final_err_m": round(final_err, 4),
+            "drift_pct_per_m": round(drift, 3),
+            "path_len_m": round(path_len, 1),
+            "gates": {"drift_pct_per_m": DRIFT_GATE_PCT,
+                      "final_err_m": FINAL_GATE_M},
             "scan_size": f"{n_scan}x{horizon}",
             "window": window,
             "backend": jax.devices()[0].platform,
+            "latency": lat,
             "graph_lm_ms_per_iter": round(graph_ms_per_iter, 3),
             "graph_keyframes": int(lio2.state.kf.count),
+            "graph_scale": graph_scale,
             "loop_on": {
                 "scans_per_sec": round(loop_scans_per_sec, 2),
                 "vs_baseline": round(
                     loop_scans_per_sec / BASELINE_SCANS_PER_SEC, 2),
                 "loops_closed": loops,
                 "scans": n_loop_scans,
-                "max_traj_err_m": round(err2, 4),
+                "max_traj_err_m": round(max_err2, 4),
+                "final_err_m": round(final_err2, 4),
+                "drift_pct_per_m": round(drift2, 3),
                 "host_stage_s": loop_timings,
             },
         },
     }
     print(json.dumps(result))
-    if err > ERR_GATE_M:
-        sys.exit(f"ACCURACY GATE FAILED: max_traj_err {err:.4f} m > "
-                 f"{ERR_GATE_M} m — perf must not trade accuracy "
-                 f"(VERDICT r2 #2)")
+    if failures:
+        sys.exit("ACCURACY GATE FAILED: " + "; ".join(failures)
+                 + " — perf must not trade accuracy (VERDICT r2 #2 / r3 #1)")
 
 
 if __name__ == "__main__":

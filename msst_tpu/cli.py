@@ -34,6 +34,7 @@ def _lio_run(scans_iter, params=None, loop=False, gps=False, progress=True,
 
     lio = LioSam(params or LioParams(loop_closure_enabled=loop))
     n = 0
+    degen_flags = []  # per-scan degeneracy (device scalars, fetched at end)
     for s in scans_iter:
         kwargs = {k: s[k] for k in ("imu_t", "imu_gyro", "imu_acc", "imu_rpy")
                   if k in s and s[k] is not None}
@@ -42,6 +43,7 @@ def _lio_run(scans_iter, params=None, loop=False, gps=False, progress=True,
             kwargs["gps_sigma"] = s.get("gps_sigma", np.full(3, 2.0, np.float32))
         out = lio.process_scan(s["xyz"], s["ring"], s["time_rel"],
                                s["scan_start"], **kwargs)
+        degen_flags.append(out.degenerate)
         n += 1
         if progress and n % 10 == 0:
             p = np.asarray(out.pose6)
@@ -51,6 +53,14 @@ def _lio_run(scans_iter, params=None, loop=False, gps=False, progress=True,
             _stream_viz(lio, viz_dir or "viz_live", n)
     if viz_every and viz_dir:
         _stream_viz(lio, viz_dir, n)
+    # run stats: how often the scan-matching degeneracy projection fired
+    # (the reference propagates this flag in odometry covariance[0],
+    # mapOptmization.cpp:1696-1699) — consumed by --stats-json
+    lio.last_run_stats = {
+        "scans": n,
+        "degenerate_scans": int(np.sum([bool(d) for d in degen_flags])),
+        "loops_closed": int(lio.state.n_loop),
+    }
     return lio
 
 
@@ -133,6 +143,10 @@ def cmd_lio_kitti(args):
             print(f"KITTI drift: {s['t_err_pct']:.2f} % translation, "
                   f"{s['r_err_deg_per_m']:.4f} deg/m rotation "
                   f"({s['n_segments']} segments)")
+
+    if getattr(args, "stats_json", None):
+        with open(args.stats_json, "w") as f:
+            json.dump(lio.last_run_stats, f)
 
 
 def _lio_sensor(sensor: str) -> str:
@@ -379,6 +393,8 @@ def main(argv=None):
     s.add_argument("--tiny", action="store_true",
                    help="small-capacity params (CPU-friendly)")
     s.add_argument("--output", default="trajectory_kitti.txt")
+    s.add_argument("--stats-json", default=None,
+                   help="write run stats (degenerate scans, loops) as JSON")
     s.add_argument("--max-points", type=int, default=0,
                    help="input cloud capacity override (0 = profile default;"
                    " full-capacity runs on small scans waste padding)")

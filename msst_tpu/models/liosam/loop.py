@@ -90,17 +90,23 @@ def loop_closure_step(state: LioState, p: LioParams):
     cur_pos = kf.positions[cur]
     cur_time = kf.time[cur]
 
-    # detectLoopClosureDistance :610-643
+    # detectLoopClosureDistance :610-643, extended to the top-k nearest
+    # eligible keyframes per attempt (round-3 VERDICT #5): the while_loop
+    # below tries them nearest-first and stops at the first ICP success, so
+    # k=1 reproduces the reference's single-nearest semantics exactly and
+    # k>1 only costs when the nearest candidate's ICP fails
     d2 = jnp.sum((kf.positions - cur_pos) ** 2, axis=1)
     old = (cur_time - kf.time) > p.history_keyframe_search_time_diff
     elig = kf.mask & old
     d2 = jnp.where(elig, d2, jnp.inf)
-    cand = jnp.argmin(d2)
-    candidate_ok = (kf.count > 1) & (
-        d2[cand] < p.history_keyframe_search_radius**2)
+    n_cand = min(max(p.loop_candidates, 1), K)
+    neg_d2, cands = jax.lax.top_k(-d2, n_cand)          # nearest first
+    cands_ok = (kf.count > 1) & (
+        -neg_d2 < p.history_keyframe_search_radius**2)
 
-    def try_close():
-        cur_cloud = _keyframe_cloud(state, cur, p)
+    cur_cloud = _keyframe_cloud(state, cur, p)
+
+    def try_close(cand):
         hist_cloud = _submap(state, cand,
                              jnp.asarray(p.history_keyframe_search_num), p,
                              p.loop_submap_cap)
@@ -118,11 +124,23 @@ def loop_closure_step(state: LioState, p: LioParams):
         good = res.converged & (res.fitness < p.history_keyframe_fitness_score)
         return good, res.pose, res.fitness, res.iters
 
-    good, icp_pose, fitness, icp_iters = jax.lax.cond(
-        candidate_ok, try_close,
-        lambda: (jnp.asarray(False), se3.Pose.identity(), jnp.asarray(jnp.inf),
-                 jnp.asarray(0, jnp.int32)),
-    )
+    def no_close():
+        return (jnp.asarray(False), se3.Pose.identity(),
+                jnp.asarray(jnp.inf), jnp.asarray(0, jnp.int32))
+
+    def cand_cond(st):
+        i, good, *_ = st
+        return (i < n_cand) & ~good
+
+    def cand_body(st):
+        i, _, _, _, _, _ = st
+        g, pose, fit, it = jax.lax.cond(cands_ok[i],
+                                        lambda: try_close(cands[i]), no_close)
+        return (i + 1, g, pose, fit, it, cands[i])
+
+    _, good, icp_pose, fitness, icp_iters, cand = jax.lax.while_loop(
+        cand_cond, cand_body,
+        (jnp.asarray(0, jnp.int32), *no_close(), jnp.asarray(0, jnp.int32)))
 
     def add_loop(state):
         graph = state.graph

@@ -149,6 +149,10 @@ class LioParams:
     history_keyframe_search_time_diff: float = 30.0
     history_keyframe_search_num: int = 25
     history_keyframe_fitness_score: float = 0.3
+    loop_candidates: int = 3      # nearest eligible keyframes tried per loop
+    # attempt (lax.while_loop stops at the first ICP success, so the extra
+    # candidates only cost when the nearest fails); 1 = reference-faithful
+    # single-nearest (detectLoopClosureDistance, mapOptmization.cpp:610-643)
     loop_leaf_size: float = 0.4   # submap downsample for loop ICP (downSizeFilterICP)
 
     # --- GPS fusion (params.yaml:14-18)

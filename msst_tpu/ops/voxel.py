@@ -48,16 +48,27 @@ def voxel_downsample(
     (output capacity >= input capacity), saving a sort operand.
 
     The sort cost on TPU scales with operand count, so (extra, cx, cy) pack
-    into ONE int key: extra in [0, 127] (7 bits), cx/cy clamped to +-1024
-    cells (11 bits each; +-205 m at the 0.2 m mapping leaf — beyond any
-    scan-frame cloud, and offline clouds larger than that lose only the
-    beyond-domain points into boundary cells).  cz rides a second key,
-    unclamped.
+    into ONE int key: extra in [0, 127] (7 bits — callers passing ring ids
+    must keep n_scan <= 128; larger values silently merge rings), cx/cy
+    clamped to +-1024 cells (11 bits each).  The cell coords are RE-CENTERED
+    on the first valid point's cell before packing, so the +-1024-cell domain
+    (+-205 m at the 0.2 m mapping leaf, +-410 m at the 0.4 m loop leaf) bounds
+    the cloud's spatial EXTENT, not its distance from the world origin —
+    world-frame submaps hundreds of meters into a trajectory (loop closure,
+    multi-session merge, map save) downsample exactly.  Only points farther
+    than the domain from the cloud's own first point collapse into boundary
+    cells.  cz rides a second key, unclamped.
     """
     n = cloud.capacity
     n_out = capacity or n
     c = voxel_coords(cloud.xyz, leaf)
     invalid = ~cloud.mask
+    # per-call origin: the first valid point's cell (argmax of the mask is
+    # the first True; an all-invalid cloud yields garbage that the sentinel
+    # keys mask out anyway).  Voxel-cell identity is translation-invariant
+    # in integer cells, so in-domain grouping and centroids are unchanged.
+    origin_cell = c[jnp.argmax(cloud.mask)]
+    c = c - origin_cell
     cxy = jnp.clip(c[:, :2], -1024, 1023)
     if extra_key is not None:
         extra = jnp.clip(extra_key.astype(jnp.int32), 0, 127)
@@ -85,7 +96,7 @@ def voxel_downsample(
     # cell instead of poisoning the shared prefix sums with huge residuals
     # (segments.py explains why unbounded prefixes of metric coords are
     # unusable in f32).
-    cell = jnp.concatenate([cxy, c[:, 2:3]], axis=1)
+    cell = jnp.concatenate([cxy, c[:, 2:3]], axis=1) + origin_cell
     center = (cell.astype(cloud.xyz.dtype) + 0.5) * leaf
     r = jnp.clip(cloud.xyz - center, -0.5 * leaf, 0.5 * leaf)
 
@@ -113,7 +124,7 @@ def voxel_downsample(
     seg = jnp.where(valid_s, seg, n_out)  # invalid points -> dropped segment
 
     cell_s = jnp.stack([((hi_s >> 11) & 2047) - 1024,
-                        (hi_s & 2047) - 1024, lo_s], axis=1)
+                        (hi_s & 2047) - 1024, lo_s], axis=1) + origin_cell
     w = valid_s.astype(r_sorted.dtype)[:, None]
     r_s = r_sorted * w
     bounds = segments.segment_boundaries(seg, n_out)

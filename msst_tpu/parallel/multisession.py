@@ -210,67 +210,73 @@ def cross_session_align(states: LioState, p: LioParams, mesh: Mesh,
 
         good, cand, fitness, t_icp = jax.vmap(one_session)(bidx)
 
-        # --- replicate the S-anchor graph: gather every session's factor
-        # (use batch row 0 — multi-robot alignment is per-device here)
-        f_good = jax.lax.all_gather(good[0], axis)                # (S,)
-        f_cand = jax.lax.all_gather(cand[0], axis)
-        f_fit = jax.lax.all_gather(fitness[0], axis)
-        f_q = jax.lax.all_gather(t_icp.q[0], axis)
-        f_t = jax.lax.all_gather(t_icp.t[0], axis)
+        # --- replicate the anchor graphs: gather EVERY batch row's factor
+        # (each row bi is its own S-session fleet — one_session only
+        # compares row bi across devices — so the b anchor graphs are
+        # independent and solved per row; round-3 VERDICT weak #4: the old
+        # row-0-only gather silently dropped the other rows' rendezvous
+        # while still applying row 0's correction to all rows)
+        f_good = jax.lax.all_gather(good, axis)                   # (S, b)
+        f_cand = jax.lax.all_gather(cand, axis)
+        f_fit = jax.lax.all_gather(fitness, axis)
+        f_q = jax.lax.all_gather(t_icp.q, axis)                   # (S, b, 4)
+        f_t = jax.lax.all_gather(t_icp.t, axis)
 
-        g = graph_ops.empty_graph(max_poses=S, max_priors=S,
-                                  max_betweens=S, max_gps=1)
-        g = g._replace(pose_mask=jnp.ones(S, bool))
-        # weak identity priors keep unconstrained anchors at identity;
-        # strong prior pins session 0 (the datum)
-        si = jnp.where(jnp.arange(S)[:, None] == 0, 1e3, 1e-1)
-        pr = g.priors._replace(
-            idx=jnp.arange(S, dtype=jnp.int32),
-            sqrt_info=jnp.broadcast_to(si, (S, 6)).astype(jnp.float32),
-            mask=jnp.ones(S, bool))
-        sigma = jnp.maximum(f_fit, 1e-2)
-        bw = g.betweens._replace(
-            i=jnp.arange(S, dtype=jnp.int32), j=f_cand,
-            meas=graph_ops.Pose(f_q, f_t),
-            sqrt_info=jnp.broadcast_to(1.0 / sigma[:, None], (S, 6)),
-            mask=f_good & (f_cand != jnp.arange(S)))
-        g = g._replace(priors=pr, betweens=bw)
-        # anchor poses start at identity + a varying zero so the optimize
-        # fori_loop carry matches its (factor-dependent, device-varying)
-        # output under shard_map's manual-axes check
-        vzero = jnp.sum(f_t) * 0.0
-        g = g._replace(poses=graph_ops.Pose(g.poses.q + vzero,
-                                            g.poses.t + vzero))
-        g = graph_ops.optimize(g, iters=8)
-        anchor = graph_ops.Pose(g.poses.q[me], g.poses.t[me])    # my T_s
+        def solve_row(rgood, rcand, rfit, rq, rt):
+            g = graph_ops.empty_graph(max_poses=S, max_priors=S,
+                                      max_betweens=S, max_gps=1)
+            g = g._replace(pose_mask=jnp.ones(S, bool))
+            # weak identity priors keep unconstrained anchors at identity;
+            # strong prior pins session 0 (the datum)
+            si = jnp.where(jnp.arange(S)[:, None] == 0, 1e3, 1e-1)
+            pr = g.priors._replace(
+                idx=jnp.arange(S, dtype=jnp.int32),
+                sqrt_info=jnp.broadcast_to(si, (S, 6)).astype(jnp.float32),
+                mask=jnp.ones(S, bool))
+            sigma = jnp.maximum(rfit, 1e-2)
+            bw = g.betweens._replace(
+                i=jnp.arange(S, dtype=jnp.int32), j=rcand,
+                meas=graph_ops.Pose(rq, rt),
+                sqrt_info=jnp.broadcast_to(1.0 / sigma[:, None], (S, 6)),
+                mask=rgood & (rcand != jnp.arange(S)))
+            g = g._replace(priors=pr, betweens=bw)
+            # anchor poses start at identity + a varying zero so the optimize
+            # fori_loop carry matches its (factor-dependent, device-varying)
+            # output under shard_map's manual-axes check
+            vzero = jnp.sum(rt) * 0.0
+            g = g._replace(poses=graph_ops.Pose(g.poses.q + vzero,
+                                                g.poses.t + vzero))
+            g = graph_ops.optimize(g, iters=8)
+            return graph_ops.Pose(g.poses.q[me], g.poses.t[me])  # my T_s
 
-        # --- apply the rigid frame correction to this session
+        anchor = jax.vmap(solve_row, in_axes=(1, 1, 1, 1, 1))(
+            f_good, f_cand, f_fit, f_q, f_t)                      # (b, ...)
+
+        # --- apply each row's rigid frame correction to that session
         def apply_correction(st):
-            poses = se3.Pose.from_vec6(
-                st.kf.pose6.reshape(-1, 6))
-            corrected = anchor.compose(poses)
+            anchor_k = se3.Pose(jnp.repeat(anchor.q, K, axis=0),
+                                jnp.repeat(anchor.t, K, axis=0))
+            poses = se3.Pose.from_vec6(st.kf.pose6.reshape(-1, 6))
+            corrected = anchor_k.compose(poses)
             new6 = corrected.to_vec6().reshape(b, K, 6)
             kvalid = jnp.arange(K)[None, :] < st.kf.count[:, None]
             new6 = jnp.where(kvalid[..., None], new6, st.kf.pose6)
-            cur = anchor.compose(se3.Pose.from_vec6(st.pose6.reshape(-1, 6)))
+            cur = anchor.compose(se3.Pose.from_vec6(st.pose6))    # (b, ...)
             nav = st.filter.nav
-            navp = se3.Pose(nav.q.reshape(-1, 4), nav.p.reshape(-1, 3))
-            navc = anchor.compose(navp)
+            navc = anchor.compose(se3.Pose(nav.q, nav.p))
             return st._replace(
                 kf=st.kf._replace(pose6=new6),
-                pose6=cur.to_vec6().reshape(b, 6),
+                pose6=cur.to_vec6(),
                 filter=st.filter._replace(nav=nav._replace(
-                    q=navc.q.reshape(b, 4), p=navc.t.reshape(b, 3),
-                    v=se3.quat_rotate(
-                        jnp.broadcast_to(anchor.q, (b, 4)), nav.v))),
+                    q=navc.q, p=navc.t,
+                    v=se3.quat_rotate(anchor.q, nav.v))),
             )
 
         any_loop = jnp.any(f_good)
         st = jax.lax.cond(any_loop, apply_correction, lambda s: s, st)
         diag = {"found": good, "candidate_session": cand,
                 "fitness": fitness,
-                "anchor_pose6": jnp.broadcast_to(
-                    se3.Pose(anchor.q, anchor.t).to_vec6(), (b, 6))}
+                "anchor_pose6": se3.Pose(anchor.q, anchor.t).to_vec6()}
         return st, diag
 
     fn = shard_map(per_device, mesh=mesh,

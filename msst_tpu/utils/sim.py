@@ -29,6 +29,17 @@ class World:
     )
 
 
+def corridor_world(length=170.0, half_width=3.0, height=5.0):
+    """Long featureless corridor (two smooth walls + floor + ceiling, no
+    pillars): translation along the corridor axis is unobservable from the
+    lidar alone — the scan-to-map degeneracy projection
+    (``mapOptmization.cpp:1229-1258``) must fire and the IMU must carry the
+    along-axis state (round-3 VERDICT #4 adversarial workload)."""
+    return World(room=((-10.0, length), (-half_width, half_width),
+                       (0.0, height)),
+                 pillars=())
+
+
 def _ray_box_interior(o, d, lo, hi):
     """Distance to the inside of a box (exit point); o strictly inside."""
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -135,17 +146,20 @@ class SimTrajectory:
     speed: float = 2.0     # m/s along the path
     z: float = 1.5
     period: float = 6.0    # shuttle: out-and-back duration [s]
+    x0: float = -20.0      # line/shuttle: start x
+    y0: float = -10.0      # line/shuttle: fixed y
 
     def pose(self, t: float) -> np.ndarray:
         if self.kind == "line":
-            p = np.array([self.speed * t - 20.0, -10.0, self.z])
+            p = np.array([self.speed * t + self.x0, self.y0, self.z])
             yaw = 0.0
         elif self.kind == "shuttle":
             # smooth out-and-back along x (returns to start at t=period)
             amp = self.speed * self.period / np.pi
             p = np.array([
-                amp * 0.5 * (1 - np.cos(2 * np.pi * t / self.period)),
-                -10.0, self.z,
+                self.x0 + 20.0
+                + amp * 0.5 * (1 - np.cos(2 * np.pi * t / self.period)),
+                self.y0, self.z,
             ])
             yaw = 0.0
         elif self.kind == "figure8":
@@ -175,12 +189,21 @@ class SimTrajectory:
 def make_dataset(world: World, traj: SimTrajectory, n_scans=40, scan_dt=0.1,
                  imu_rate=200.0, n_scan=16, horizon=360, noise=0.01,
                  imu_noise_gyr=1e-3, imu_noise_acc=1e-2, gravity=9.80511,
+                 imu_bias_gyr=0.0, imu_bias_acc=0.0, imu_bias_ramp=0.0,
+                 elev_limits=(-15.0, 15.0),
                  seed=0):
     """Returns a list of per-scan dicts: xyz/ring/time/scan_start/imu_*/gt_pose.
 
     IMU samples are generated at imu_rate on the same clock, with body rates
     and specific force derived from the trajectory by finite differences.
-    """
+
+    IMU degradation knobs (round-3 VERDICT #4 — adversarial drives for the
+    robustness machinery): ``imu_bias_gyr``/``imu_bias_acc`` add a constant
+    per-axis bias [rad/s, m/s^2]; ``imu_bias_ramp`` scales a linear drift of
+    that bias over the run (bias(t) = bias * (1 + ramp * t / total_t)),
+    emulating a warming MEMS IMU.  The estimator's bias states / ESKF gates
+    must absorb these (the reference's failure gates:
+    ``imuPreintegration.cpp:438-456``)."""
     rng = np.random.default_rng(seed)
     g = np.array([0, 0, -gravity])
 
@@ -201,8 +224,13 @@ def make_dataset(world: World, traj: SimTrajectory, n_scans=40, scan_dt=0.1,
     gyros[-1] = gyros[-2]
     f_body = np.einsum("nji,nj->ni", Rsm, accs - g)  # R^T (a - g)
 
-    gyro_meas = gyros + rng.normal(scale=imu_noise_gyr, size=gyros.shape)
-    acc_meas = f_body + rng.normal(scale=imu_noise_acc, size=f_body.shape)
+    ramp = (1.0 + imu_bias_ramp * ts / max(total_t, 1e-9))[:, None]
+    bias_g = imu_bias_gyr * np.array([1.0, -0.7, 0.5]) * ramp
+    bias_a = imu_bias_acc * np.array([0.6, 1.0, -0.4]) * ramp
+    gyro_meas = (gyros + bias_g
+                 + rng.normal(scale=imu_noise_gyr, size=gyros.shape))
+    acc_meas = (f_body + bias_a
+                + rng.normal(scale=imu_noise_acc, size=f_body.shape))
     rpys = Rs.from_matrix(Rsm).as_euler("xyz")
 
     scans = []
@@ -211,7 +239,7 @@ def make_dataset(world: World, traj: SimTrajectory, n_scans=40, scan_dt=0.1,
         T = traj.pose(t0)
         xyz, ring, time_rel, ri = raycast_scan(
             world, T, n_scan=n_scan, horizon=horizon, noise=noise, rng=rng,
-            spin_period=scan_dt, traj=traj, t0=t0)
+            spin_period=scan_dt, traj=traj, t0=t0, elev_limits=elev_limits)
         sel = (ts >= t0 - 0.5) & (ts <= t0 + scan_dt + 0.05)
         k0 = int(np.searchsorted(ts, t0))
         scans.append(dict(

@@ -1,0 +1,113 @@
+"""Loop closure under REAL accumulated drift (round-3 VERDICT #5).
+
+Builds a long multi-revisit drive with deliberately degraded sensing (IMU
+bias ramp + extra lidar noise) so open-loop drift exceeds ~1 m, then replays
+it twice — loop closure off and on — and reports both error curves.  The
+loop-ON run must pull the trajectory back toward ground truth at every
+revisit (``performLoopClosure``/``correctPoses``,
+``mapOptmization.cpp:529-608,1583-1614``).
+
+Used to calibrate tests/test_liosam.py::test_loop_closure_recovers_large_drift
+and as a standing evidence script:
+
+  python scripts/loop_drift_exp.py --scans 500 [--horizon 360] [--loop-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def run(data, p, window, loop):
+    from msst_tpu.models.liosam import LioSam
+
+    lio = LioSam(p, window=window)  # pipeline schedules loop attempts itself
+    for i in range(0, len(data), window):
+        batch = data[i:i + window]
+        keys = ("xyz", "ring", "time_rel", "scan_start", "imu_t", "imu_gyro",
+                "imu_acc", "imu_rpy")
+        lio.process_window([{k: s[k] for k in keys} for s in batch])
+    lio.flush()
+    gt0 = data[0]["gt_pose"][:3, 3]
+    gt = np.stack([s["gt_pose"][:3, 3] - gt0 for s in data])
+    est = lio.trajectory.as_matrices()[:, :3, 3]
+    n = min(len(est), len(gt))
+    errs = np.linalg.norm(est[:n] - gt[:n], axis=1)
+    return errs, int(lio.state.n_loop)
+
+
+def build_drive(args):
+    from msst_tpu.utils import sim
+
+    world = sim.World()
+    traj = sim.SimTrajectory(kind="circle", radius=args.radius,
+                             speed=args.speed)
+    return sim.make_dataset(
+        world, traj, n_scans=args.scans, scan_dt=0.1, n_scan=16,
+        horizon=args.horizon, seed=args.seed,
+        noise=args.lidar_noise,
+        imu_noise_gyr=args.gyr_noise, imu_noise_acc=args.acc_noise,
+        imu_bias_gyr=args.gyr_bias, imu_bias_acc=args.acc_bias,
+        imu_bias_ramp=1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scans", type=int, default=500)
+    ap.add_argument("--horizon", type=int, default=360)
+    ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--radius", type=float, default=8.0)
+    ap.add_argument("--speed", type=float, default=2.5)
+    ap.add_argument("--seed", type=int, default=13)
+    ap.add_argument("--lidar-noise", type=float, default=0.03)
+    ap.add_argument("--gyr-noise", type=float, default=5e-3)
+    ap.add_argument("--acc-noise", type=float, default=5e-2)
+    ap.add_argument("--gyr-bias", type=float, default=8e-3)
+    ap.add_argument("--acc-bias", type=float, default=5e-2)
+    ap.add_argument("--age-gate", type=float, default=8.0)
+    ap.add_argument("--loop-only", action="store_true")
+    args = ap.parse_args()
+
+    from msst_tpu.models.liosam.params import tiny_params
+
+    data = build_drive(args)
+
+    def params(loop):
+        return tiny_params(
+            loop_closure_enabled=loop,
+            history_keyframe_search_time_diff=args.age_gate,
+            history_keyframe_search_num=8,
+            max_keyframes=128)
+
+    t0 = time.time()
+    out = {}
+    if not args.loop_only:
+        errs_off, _ = run(data, params(False), args.window, loop=False)
+        out["loop_off"] = dict(max_err=round(float(errs_off.max()), 3),
+                               final_err=round(float(errs_off[-1]), 3))
+    errs_on, n_loops = run(data, params(True), args.window, loop=True)
+    out["loop_on"] = dict(max_err=round(float(errs_on.max()), 3),
+                          final_err=round(float(errs_on[-1]), 3),
+                          loops=n_loops)
+    if "loop_off" in out:
+        out["ratio_max"] = round(
+            out["loop_off"]["max_err"] / max(out["loop_on"]["max_err"], 1e-9),
+            2)
+    out["wall_s"] = round(time.time() - t0, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

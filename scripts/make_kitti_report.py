@@ -37,24 +37,49 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 DRIVES = [
-    # name, SimTrajectory kwargs, n_scans (10 Hz)
-    ("circle", dict(kind="circle", radius=15.0, speed=5.0), None),
-    ("shuttle", dict(kind="shuttle", speed=5.0, period=12.0), None),
-    ("figure8", dict(kind="figure8", radius=15.0, speed=5.0), None),
-    ("corridor", dict(kind="line", speed=4.0), 90),  # straight, degenerate
+    # name, SimTrajectory kwargs, n_scans (10 Hz), extras:
+    #   world: factory name on utils.sim ("corridor_world") or None (room)
+    #   n_scan / horizon: sensor geometry override
+    #   data_kw: extra make_dataset kwargs (IMU degradation etc.)
+    ("circle", dict(kind="circle", radius=15.0, speed=5.0), None, {}),
+    ("shuttle", dict(kind="shuttle", speed=5.0, period=12.0), None, {}),
+    ("figure8", dict(kind="figure8", radius=15.0, speed=5.0), None, {}),
+    ("corridor", dict(kind="line", speed=4.0), 90, {}),  # short, degenerate
+    # --- round-4 adversarial drives (VERDICT r3 #4) ---
+    # 160 m featureless corridor: along-axis translation unobservable from
+    # the lidar -> the degeneracy projection must fire and the IMU carries x
+    ("corridor_long", dict(kind="line", speed=4.0, x0=0.0, y0=0.0), 400,
+     {"world": "corridor_world"}),
+    # 10 m/s high-speed circle: ~3.8 deg rotation + 1 m translation PER
+    # SWEEP — the deskew path under aggressive motion
+    ("highspeed", dict(kind="circle", radius=15.0, speed=10.0), None, {}),
+    # degraded IMU: 10x noise + large warming bias ramp — the bias states /
+    # ESKF gates must absorb it (imuPreintegration.cpp:438-456 role)
+    ("imu_degraded", dict(kind="circle", radius=12.0, speed=3.0), None,
+     {"data_kw": dict(imu_noise_gyr=1e-2, imu_noise_acc=1e-1,
+                      imu_bias_gyr=0.02, imu_bias_acc=0.2,
+                      imu_bias_ramp=1.0)}),
+    # 64-ring full-rate geometry (the reference supports 64-beam sensors,
+    # rawdata.cc banked decode; accuracy protocol previously 16-ring only)
+    ("fullrate64", dict(kind="circle", radius=12.0, speed=3.0), 200,
+     {"n_scan": 64, "elev": (-24.9, 2.0)}),
 ]
 
 
 def build_drive(out_dir: str, name: str, traj_kw: dict, n_scans: int,
-                n_scan: int, horizon: int, seed: int = 7):
+                n_scan: int, horizon: int, seed: int = 7,
+                world_factory=None, data_kw=None, elev=None):
     from scipy.spatial.transform import Rotation as Rs
 
     from msst_tpu.utils import sim
 
-    world = sim.World()
+    world = getattr(sim, world_factory)() if world_factory else sim.World()
     traj = sim.SimTrajectory(**traj_kw)
+    kw = dict(data_kw or {})
+    if elev is not None:
+        kw["elev_limits"] = elev
     data = sim.make_dataset(world, traj, n_scans=n_scans, scan_dt=0.1,
-                            n_scan=n_scan, horizon=horizon, seed=seed)
+                            n_scan=n_scan, horizon=horizon, seed=seed, **kw)
 
     d = os.path.join(out_dir, name, "2026_01_01",
                      "2026_01_01_drive_0001_sync")
@@ -133,30 +158,51 @@ def main():
     ap.add_argument("--horizon", type=int, default=900)
     ap.add_argument("--out", default=os.path.join(REPO, "reports"))
     ap.add_argument("--workdir", default="/tmp/kitti_synth")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated drive names (default: all)")
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform for the replay subprocesses")
     args = ap.parse_args()
 
     import time
 
+    import json
+
     rows = []
     selfcheck = None
-    for name, traj_kw, scans_override in DRIVES:
+    only = set(args.only.split(",")) if args.only else None
+    for name, traj_kw, scans_override, extras in DRIVES:
+        if only and name not in only:
+            continue
         n_scans = scans_override or args.scans
-        drive, gt = build_drive(args.workdir, name, traj_kw, n_scans, 16,
-                                args.horizon)
+        n_scan = extras.get("n_scan", 16)
+        horizon = extras.get("horizon", args.horizon)
+        drive, gt = build_drive(args.workdir, name, traj_kw, n_scans, n_scan,
+                                horizon, world_factory=extras.get("world"),
+                                data_kw=extras.get("data_kw"),
+                                elev=extras.get("elev"))
         traj_file = os.path.join(args.workdir, f"traj_{name}.txt")
+        stats_file = os.path.join(args.workdir, f"stats_{name}.json")
         t0 = time.time()
         # full-capacity params (round 3: the tiny profile's small caps and
         # looser gates diverge on the rotation-rich figure-8 at 5 m/s —
         # 9.9 m ATE vs 0.26 with full params); max_points sized to the scan
+        # accuracy is backend-independent (same program, same inputs);
+        # CPU keeps the single-tenant TPU tunnel free and compiles in
+        # seconds instead of tens of minutes (CLAUDE.md) — without the
+        # explicit MSST_PLATFORM the subprocess lands on the accelerator
+        env = {**os.environ, "MSST_PLATFORM": args.platform}
         r = subprocess.run(
             [sys.executable, "-m", "msst_tpu.cli", "lio-kitti", drive,
-             "--rings", "16", "--horizon", str(args.horizon),
-             "--max-points", str(16 * args.horizon + 64),
+             "--rings", str(n_scan), "--horizon", str(horizon),
+             "--max-points", str(n_scan * horizon + 64),
+             "--stats-json", stats_file,
              "--output", traj_file],
-            capture_output=True, text=True, cwd=REPO)
+            capture_output=True, text=True, cwd=REPO, env=env)
         wall = time.time() - t0
         if r.returncode != 0:
             sys.exit(f"lio-kitti failed on {name}:\n{r.stderr[-3000:]}")
+        stats = json.load(open(stats_file))
 
         est_12 = np.loadtxt(traj_file)
         est = np.tile(np.eye(4), (len(est_12), 1, 1))
@@ -167,11 +213,13 @@ def main():
         m = evaluate(est, gt_shift)
         path_len = float(np.sum(np.linalg.norm(
             np.diff(gt_shift[:, :3, 3], axis=0), axis=1)))
-        m.update(name=name, scans=n_scans, path_m=path_len, wall_s=wall)
+        m.update(name=name, scans=n_scans, path_m=path_len, wall_s=wall,
+                 geometry=f"{n_scan}x{horizon}",
+                 degen=stats["degenerate_scans"])
         rows.append(m)
         print(f"{name}: ATE {m['ate_m']:.3f} m  t_rel {m['t_rel_pct']:.3f}%  "
-              f"r_rel {m['r_rel_deg_per_100m']:.3f} deg/100m "
-              f"({wall:.0f} s)")
+              f"r_rel {m['r_rel_deg_per_100m']:.3f} deg/100m  "
+              f"degen {m['degen']}/{n_scans} ({wall:.0f} s)")
         if selfcheck is None:
             selfcheck = evaluate(gt_shift, gt_shift)
 
@@ -182,30 +230,38 @@ def main():
         seg = m["segments"]
         trel = (f"{m['t_rel_pct']:.3f}" if seg else "n/a (path<100m)")
         rrel = (f"{m['r_rel_deg_per_100m']:.3f}" if seg else "n/a")
-        return (f"| {m['name']} | {m['scans']} | {m['path_m']:.0f} | "
+        return (f"| {m['name']} | {m['geometry']} | {m['scans']} | "
+                f"{m['path_m']:.0f} | "
                 f"{m['ate_m']:.3f} | {trel} | {rrel} | {m['rpe_t_m']:.3f} | "
-                f"{m['rpe_r_deg']:.3f} | {seg} |")
+                f"{m['rpe_r_deg']:.3f} | {seg} | {m['degen']} |")
 
     with open(report, "w") as f:
         f.write(f"""# KITTI-protocol accuracy report
 
 Generated by `python scripts/make_kitti_report.py --scans {args.scans}`
-(deterministic; sim seed 7).  Four trajectory shapes, all inside the
-simulator room (VERDICT r2 #5: the old report's single r=25 circle exited
-the ±20 m walls; its "13.37 deg/100m" was a x1000-vs-x100 unit bug).
+(deterministic; sim seed 7).  Eight drives: four trajectory shapes inside
+the simulator room plus four ADVERSARIAL drives (round-3 VERDICT #4):
+a 160 m featureless corridor (along-axis translation unobservable — the
+degeneracy projection must fire; see the `degen scans` column), a 10 m/s
+high-speed circle (~3.8 deg + 1 m of motion per sweep), a degraded-IMU
+drive (10x noise + warming bias ramp, sim.make_dataset imu_bias_*), and a
+64-ring full-rate geometry drive.
 
 ## Setup
 
 - Drives: synthetic KITTI raw layout (velodyne_points/*.bin + oxts/*.txt,
-  the exact structure `kitti2bag.py:28-61` consumes), VLP-16 geometry
-  16x{args.horizon} @ 10 Hz, 500 Hz IMU, walled simulator world.
+  the exact structure `kitti2bag.py:28-61` consumes), geometry per drive
+  (default 16x{args.horizon}) @ 10 Hz, 200 Hz IMU, walled simulator world
+  or corridor world (utils/sim.corridor_world).
 - Pipeline: the real `msst lio-kitti` CLI (KittiRawDrive reader -> LioSam ->
-  KITTI-format trajectory export) per drive.
+  KITTI-format trajectory export) per drive; `degen scans` counts scans
+  where the scan-matching degeneracy projection fired
+  (mapOptmization.cpp:1229-1258 role).
 
 ## Results (vs simulator ground truth)
 
-| drive | scans | path [m] | ATE [m] | t_rel [%] | r_rel [deg/100m] | RPE t (1s) [m] | RPE r (1s) [deg] | segments |
-|---|---|---|---|---|---|---|---|---|
+| drive | geometry | scans | path [m] | ATE [m] | t_rel [%] | r_rel [deg/100m] | RPE t (1s) [m] | RPE r (1s) [deg] | segments | degen scans |
+|---|---|---|---|---|---|---|---|---|---|---|
 """)
         for m in rows:
             f.write(fmt_row(m) + "\n")

@@ -164,6 +164,75 @@ def test_decode_packets_native_matches_numpy():
         np.testing.assert_array_equal(a["ring"], b["ring"])
 
 
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _golden_stream():
+    """Deterministic varied 4-packet stream: sweeping azimuths with jitter,
+    per-channel distances across the full range, zero-distance dropouts,
+    distinct intensity per packet.  Regenerate the committed fixture with
+    ``python -c "from tests.test_io import regen_golden; regen_golden()"``
+    (only legitimate when the WIRE FORMAT intentionally changes)."""
+    rng = np.random.default_rng(99)
+    pkts = []
+    az = 0.0
+    for _ in range(4):
+        azs = []
+        dists = np.empty((12, 32))
+        for b in range(12):
+            az = (az + 0.18 + float(rng.uniform(0, 0.08))) % 360.0
+            azs.append(az)
+            dists[b] = rng.uniform(0.4, 95.0, size=32)
+        dists[rng.uniform(size=dists.shape) < 0.06] = 0.0
+        pkts.append(make_packet(azs, dists=dists,
+                                intensity=int(rng.integers(5, 250))))
+    return np.frombuffer(b"".join(pkts), np.uint8).reshape(4, 1206).copy()
+
+
+def regen_golden():
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    stream = _golden_stream()
+    stream.tofile(os.path.join(GOLDEN_DIR, "golden_packets.bin"))
+    out = packets.decode_packets_numpy(stream, RICH_CFG)
+    np.savez(os.path.join(GOLDEN_DIR, "golden_packets_expected.npz"),
+             **{k: np.asarray(v) for k, v in out.items()})
+    print(f"regenerated fixtures in {GOLDEN_DIR}")
+
+
+def test_golden_packet_fixture_decode():
+    """Frozen wire-format pin (round-3 VERDICT #9; no real pcap is reachable
+    in this egress-less environment, so the committed fixture carries the
+    full 1206-byte wire layout — block flags, little-endian azimuth
+    centidegrees, 3-byte returns, dropouts — through the REAL decoders):
+    the checked-in byte stream and its decoded output must be reproduced
+    exactly by both the NumPy and the native C decoder.  Catches any silent
+    change to the correction math, timing offsets (49.152/3.072 us,
+    rawdata.cc:148-176) or packing that the self-consistent tests above
+    would follow along with."""
+    bin_path = os.path.join(GOLDEN_DIR, "golden_packets.bin")
+    npz_path = os.path.join(GOLDEN_DIR, "golden_packets_expected.npz")
+    stream = np.fromfile(bin_path, np.uint8).reshape(4, 1206)
+    # the generator still produces the committed bytes (fixture provenance)
+    np.testing.assert_array_equal(stream, _golden_stream())
+
+    exp = np.load(npz_path)
+    out = packets.decode_packets_numpy(stream, RICH_CFG)
+    assert set(exp.files) == set(out.keys())
+    np.testing.assert_array_equal(out["valid"], exp["valid"])
+    np.testing.assert_array_equal(out["ring"], exp["ring"])
+    for k in ("x", "y", "z", "intensity", "time_us", "azimuth_deg"):
+        np.testing.assert_allclose(out[k], exp[k], atol=1e-6, err_msg=k)
+
+    lib = packets._load_native()
+    if lib:
+        nat = packets.decode_packets(stream, RICH_CFG)
+        np.testing.assert_array_equal(nat["valid"], exp["valid"])
+        v = exp["valid"]
+        for k in ("x", "y", "z", "intensity", "time_us", "azimuth_deg"):
+            np.testing.assert_allclose(nat[k][v], exp[k][v], atol=2e-3,
+                                       err_msg=k)
+
+
 def test_decode_banked_64_laser():
     """32/64-laser devices use banked blocks: 0xEEFF = lasers 0..31,
     0xDDFF = 32..63 (unpack :306-330); zero returns are skipped (:342-346)."""

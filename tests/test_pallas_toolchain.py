@@ -39,6 +39,22 @@ def _attempt_lowering():
         return False, str(e)
 
 
+def test_onehot_gather_rows_matches_indexing():
+    """ops/gather_pallas.onehot_gather_rows == table[idx] (interpret mode on
+    CPU; scripts/pallas_bench.py measures the real-Mosaic number — the
+    gather-as-MXU-matmul is the one formulation Mosaic can express)."""
+    from msst_tpu.ops.gather_pallas import onehot_gather_rows
+
+    rng = np.random.default_rng(1)
+    for H, W, N in ((1000, 24, 700), (2048, 8, 2048), (300, 130, 100)):
+        table = jnp.asarray(rng.normal(size=(H, W)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, H, size=(N,)).astype(np.int32))
+        out = onehot_gather_rows(table, idx, tile=256, h_chunk=512,
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(table)[np.asarray(idx)])
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="Mosaic lowering requires a real TPU backend "
                            "(run scripts/pallas_watch.py on hardware)")

@@ -100,6 +100,28 @@ def test_voxel_downsample_clamps_far_cells_to_domain_boundary():
     assert (np.abs(got[:, 0] - 1024.0) < 1e-2).any()  # boundary cell edge
 
 
+def test_voxel_downsample_world_frame_far_from_origin():
+    """A spatially-compact cloud hundreds of meters from the world origin
+    (loop-closure submaps / multi-session merges / map save downsample
+    world-frame keyframe clouds) must downsample EXACTLY — the packed-key
+    domain is re-centered per call (round-3 advisor high finding: without
+    re-centering, a cloud at 600 m collapsed onto the x=409.6 m boundary
+    plane at the 0.4 m loop leaf)."""
+    base = RNG.uniform(-8, 8, size=(400, 3)).astype(np.float32)
+    for offset in ([600.0, -350.0, 40.0], [2000.0, 2000.0, -100.0]):
+        xyz = base + np.asarray(offset, np.float32)
+        out = voxel.voxel_downsample(Cloud.create(jnp.asarray(xyz)), leaf=0.4)
+        expect = ref_voxel_centroids(xyz, np.zeros((len(xyz), 0)), 0.4)
+        m = np.asarray(out.mask)
+        assert m.sum() == len(expect), (offset, m.sum(), len(expect))
+        got = np.asarray(out.xyz)[m]
+        # no boundary-plane collapse: every centroid sits in its own cell
+        for p in got:
+            c = tuple(np.floor(p / 0.4).astype(np.int64))
+            assert c in expect, (offset, c)
+            np.testing.assert_allclose(p, expect[c][0], atol=2e-3)
+
+
 def test_voxel_downsample_first_keeps_input_order_points():
     xyz = RNG.uniform(-2, 2, size=(200, 3)).astype(np.float32)
     cloud = Cloud.create(jnp.asarray(xyz))
