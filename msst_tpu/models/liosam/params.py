@@ -66,6 +66,13 @@ class LioParams:
     surf_feature_min_valid_num: int = 100
 
     # --- voxel leaf sizes (params.yaml:66-69)
+    # Metric domain note (ADVICE r3): ops/voxel.voxel_downsample packs cell
+    # coords into +-1024 cells re-centered on each cloud's first point, so a
+    # single cloud may SPAN up to 2048*leaf meters (410 m at 0.2, 820 m at
+    # 0.4) regardless of where it sits in the world; points beyond that span
+    # collapse into boundary cells.  Long-range sensors (OS2 ~240 m radius =
+    # 480 m span) fit every leaf here; shrink leaves below 0.12 m only with
+    # that bound in mind.
     odometry_surf_leaf_size: float = 0.4
     mapping_corner_leaf_size: float = 0.2
     mapping_surf_leaf_size: float = 0.4

@@ -80,11 +80,20 @@ def voxel_downsample(
     if uniform_overflow:
         # spatial hash as the primary order ((hi, lo) as tiebreakers keep
         # distinct voxels separate under collisions); invalid points sort
-        # last.  The hash is a pure function of (hi, lo) (clamped coords,
-        # no extra), so equal-(hi, lo) rows always share it.
-        h = (cxy[:, 0] * jnp.int32(73856093)
-             ^ cxy[:, 1] * jnp.int32(19349663)
-             ^ lo * jnp.int32(83492791))
+        # last.  The hash input is the clamped-relative cell shifted BACK
+        # to absolute — still a pure function of (hi, lo) (so clamped
+        # groups stay mergeable), and for every in-domain point it equals
+        # the world-space cell: survivor selection is then independent of
+        # which point happened to be first valid (the re-centering
+        # origin), so two packings/layouts of the same scene thin
+        # identically (a re-centered hash made the thinning
+        # origin-sensitive; caught by the grid-jitter divergence test).
+        ha = cxy[:, 0] + origin_cell[0]
+        hb = cxy[:, 1] + origin_cell[1]
+        hc = lo + origin_cell[2]
+        h = (ha * jnp.int32(73856093)
+             ^ hb * jnp.int32(19349663)
+             ^ hc * jnp.int32(83492791))
         h = jnp.where(invalid, jnp.int32(2**31 - 1), h)
         keys = [h, hi, lo]
     else:

@@ -37,27 +37,33 @@ import numpy as np
 
 def chained_ms(fn, x, reps):
     """Device-time estimate: chain the op K times with data dependence in
-    ONE jit and difference the walls (block_until_ready can lie on axon)."""
+    ONE jit and difference the walls (block_until_ready can lie on axon).
+
+    The dependence feeds each iteration's OUTPUT back into the next
+    iteration's TABLE via a tiny additive term — a form XLA cannot
+    constant-fold or CSE away (a `% 1` index perturbation folds to 0 and
+    the whole chain collapses to one gather; measured as negative deltas).
+    The final readback returns one scalar so D2H cost is identical for
+    every chain length and cancels in the difference."""
 
     def chain(n):
         @jax.jit
-        def run(t, i):
-            out = t
+        def run(t):
             for _ in range(n):
-                out = fn(t, (i + out[0, 0].astype(jnp.int32)) % 1)
-            return out
+                out = fn(t, 0)
+                t = t + out[0, :1] * jnp.float32(1e-20)
+            return jnp.sum(t[0])
         return run
 
-    i0 = jnp.zeros((), jnp.int32)
     r1 = chain(1)
-    np.asarray(r1(x, i0))  # compile + run
+    np.asarray(r1(x))  # compile + run
     t0 = time.perf_counter()
-    np.asarray(r1(x, i0))
+    np.asarray(r1(x))
     w1 = time.perf_counter() - t0
     rk = chain(reps)
-    np.asarray(rk(x, i0))
+    np.asarray(rk(x))
     t0 = time.perf_counter()
-    np.asarray(rk(x, i0))
+    np.asarray(rk(x))
     wk = time.perf_counter() - t0
     return 1000.0 * (wk - w1) / (reps - 1)
 
@@ -84,8 +90,9 @@ def main():
     def xla_gather(t, j):
         return t[(idx + j) % H]
 
+    # cheap ops need long chains to rise above the ~10-30 ms tunnel noise
     out["xla_probe_gather_ms"] = round(
-        chained_ms(xla_gather, table, args.reps), 3)
+        chained_ms(xla_gather, table, 64), 3)
 
     from msst_tpu.ops.gather_pallas import onehot_gather_rows
     try:
@@ -105,13 +112,13 @@ def main():
     def xla_small(t, j):
         return t[(idx_s + j) % Hs]
 
-    out["xla_small_ms"] = round(chained_ms(xla_small, table_s, args.reps), 3)
+    out["xla_small_ms"] = round(chained_ms(xla_small, table_s, 128), 3)
     try:
         def pallas_small(t, j):
             return onehot_gather_rows(t, (idx_s + j) % Hs, h_chunk=512)
 
         out["pallas_onehot_small_ms"] = round(
-            chained_ms(pallas_small, table_s, args.reps), 3)
+            chained_ms(pallas_small, table_s, 32), 3)
     except Exception as e:  # noqa: BLE001
         out["pallas_onehot_small_ms"] = f"FAILED: {str(e).splitlines()[0][:160]}"
 
