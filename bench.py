@@ -183,20 +183,25 @@ def _make_ring_graph(K, n_extra_loops=8, gps_every=16, seed=0):
     return g
 
 
-def _time_ms_per_iter(fn, graph):
-    """Two-point chained-in-jit timing: wall(9 iters) - wall(1 iter) / 8
-    removes the fixed dispatch+readback cost (CLAUDE.md measurement rule)."""
+def _time_ms_per_iter(fn, graph, hi=33):
+    """Two-point chained-in-jit timing: (wall(hi iters) - wall(1 iter)) /
+    (hi - 1) removes the fixed dispatch+readback cost (CLAUDE.md measurement
+    rule).  The spread must dwarf the ~10-30 ms axon tunnel jitter — 8 iters
+    of a ~2 ms solve does not (r4 measured a NEGATIVE dense_512 delta), so
+    each wall is the best of 2 and hi defaults to 33."""
     import jax
 
-    jax.block_until_ready(fn(graph, iters=1).poses.t)  # compile
-    t0 = time.perf_counter()
-    np.asarray(fn(graph, iters=1).poses.t)
-    w1 = time.perf_counter() - t0
-    jax.block_until_ready(fn(graph, iters=9).poses.t)  # compile
-    t0 = time.perf_counter()
-    np.asarray(fn(graph, iters=9).poses.t)
-    w9 = time.perf_counter() - t0
-    return 1000.0 * (w9 - w1) / 8.0
+    def wall(iters):
+        jax.block_until_ready(fn(graph, iters=iters).poses.t)  # compile
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(fn(graph, iters=iters).poses.t)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    w1, wk = wall(1), wall(hi)
+    return 1000.0 * (wk - w1) / (hi - 1)
 
 
 def main():

@@ -483,7 +483,8 @@ def _rebuild_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
 
         def vox(cloud, cap, leaf, kind):
             return voxelmap.build(cloud.xyz, cloud.mask, leaf, cap, kind,
-                                  table_size=2 * cap, origin=position)
+                                  table_size=2 * cap, origin=position,
+                                  plane_min_spread=p.vox_plane_min_spread)
 
         vox_corner, vox_surf = corner_flat, surf_flat
     else:
@@ -575,7 +576,8 @@ def _features_from_moments(corner_mom, surf_mom, anchor: Array, p: LioParams):
         surf_vox=voxelmap.build(
             sx, sm, p.vox_surf_leaf, p.vox_surf_cap,
             "plane", table_size=2 * p.vox_surf_cap, origin=anchor,
-            presorted=sk is not None),
+            presorted=sk is not None,
+            plane_min_spread=p.vox_plane_min_spread),
         corner_mom=corner_mom, surf_mom=surf_mom, anchor=anchor,
         valid=jnp.asarray(True),
     )

@@ -145,6 +145,12 @@ class LioParams:
     # sorting fit)
     vox_corner_leaf: float = 0.8
     vox_surf_leaf: float = 0.8
+    # min sqrt(lambda_mid) of a surf voxel's point scatter for a valid plane
+    # fit: planes need 2-D in-plane support.  Grazing single-ring arcs in far
+    # floor cells are thin-but-degenerate; their noise-tilted normals torque
+    # pitch -> gravity leaks into along-track velocity (the measured 10 m /
+    # 140 m corridor x-drag, r4).  See ops/voxelmap.build(plane_min_spread).
+    vox_plane_min_spread: float = 0.05
     vox_corner_cap: int = 8192
     vox_surf_cap: int = 16384
 

@@ -139,6 +139,7 @@ def _unpack_rel(key: Array, group_bits: int = 0) -> Array:
 def build(xyz: Array, mask: Array, leaf: float, capacity: int,
           kind: str, table_size: int = 8192, min_points: int = 3,
           line_ratio: float = 3.0, plane_thickness: float = 0.1,
+          plane_min_spread: float = 0.0,
           origin: Array | None = None,
           presorted: bool = False) -> VoxelFeatureMap:
     """Voxelize + fit per-voxel features.
@@ -146,6 +147,15 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
     kind: "plane" (surf map) or "line" (corner map).
     plane_thickness: max sqrt(lambda_min) for a valid plane — the analogue of
     the reference's 0.2 m plane-fit validity check.
+    plane_min_spread: min sqrt(lambda_mid) for a valid plane — a plane needs
+    2-D in-plane support, not just thinness.  A single grazing-incidence
+    ring arc crossing a far floor cell is THIN (passes the thickness gate)
+    but its normal is unconstrained in the plane perpendicular to the arc:
+    those fits tilt with range noise, and at production shapes they are
+    biased enough to torque pitch every scan, leak gravity into the
+    along-track velocity, and drag x by ~10 m over a 140 m corridor
+    (measured r4; the kNN path escapes because multi-scan 5-NN
+    neighborhoods usually span rings).  0.0 = no gate (legacy behavior).
     origin: when given, the voxel grid is anchored at `origin` and grouping
     uses one packed int32 sort key over a +-512-cell domain around it (4x
     cheaper than the lexsort; points outside the domain are dropped — local
@@ -235,6 +245,9 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
         direction = vecs[:, 0, :]          # smallest eigvec = normal
         d = -jnp.sum(direction * mu, axis=1)
         quality_ok = jnp.sqrt(jnp.maximum(vals[:, 0], 0.0)) <= plane_thickness
+        if plane_min_spread > 0.0:
+            quality_ok &= (jnp.sqrt(jnp.maximum(vals[:, 1], 0.0))
+                           >= plane_min_spread)
     else:
         direction = vecs[:, 2, :]          # largest eigvec = line direction
         d = jnp.zeros(capacity, xyz.dtype)

@@ -40,6 +40,27 @@ def corridor_world(length=170.0, half_width=3.0, height=5.0):
                  pillars=())
 
 
+def dumbbell_world(length=150.0, half_width=5.0, height=5.0):
+    """Two feature-rich pillar zones joined by a long featureless corridor —
+    the loop-closure-under-real-drift workload (round-3 VERDICT #5).
+
+    Driving end-to-end accumulates along-axis drift in the blind mid-span
+    (the corridor makes x unobservable; the IMU carries it), which is BAKED
+    into the far zone's keyframes; on return, the start zone's old map
+    disagrees with the drifted estimate by more than the scan-to-map
+    correspondence basin, and only loop closure (ICP over the old submap +
+    graph correction, ``performLoopClosure``/``correctPoses``
+    ``mapOptmization.cpp:529-608,1583-1614``) can remove it."""
+    near = ((-6.0, -4.5), (-3.5, -2.0)), ((-8.0, -6.5), (1.0, 2.5)), \
+        ((-3.0, -1.5), (2.0, 3.5))
+    far = ((length - 6.0, length - 4.5), (-3.0, -1.5)), \
+        ((length - 8.5, length - 7.0), (1.5, 3.0)), \
+        ((length - 3.5, length - 2.0), (-1.0, 0.5))
+    return World(room=((-12.0, length + 4.0), (-half_width, half_width),
+                       (0.0, height)),
+                 pillars=tuple((x, y, (0.0, height)) for x, y in near + far))
+
+
 def _ray_box_interior(o, d, lo, hi):
     """Distance to the inside of a box (exit point); o strictly inside."""
     with np.errstate(divide="ignore", invalid="ignore"):

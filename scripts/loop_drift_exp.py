@@ -30,7 +30,7 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 
-def run(data, p, window, loop):
+def run(data, p, window, loop, dump=None):
     from msst_tpu.models.liosam import LioSam
 
     lio = LioSam(p, window=window)  # pipeline schedules loop attempts itself
@@ -45,15 +45,34 @@ def run(data, p, window, loop):
     est = lio.trajectory.as_matrices()[:, :3, 3]
     n = min(len(est), len(gt))
     errs = np.linalg.norm(est[:n] - gt[:n], axis=1)
+    if dump:
+        np.savez(dump, errs=errs, est=est[:n], gt=gt[:n],
+                 n_kf=int(lio.state.kf.count))
+        # coarse curve for eyeballing where divergence starts
+        marks = {int(i): round(float(errs[i]), 3)
+                 for i in range(0, n, max(n // 16, 1))}
+        print(json.dumps({"curve": marks, "n_kf": int(lio.state.kf.count)}),
+              file=sys.stderr)
     return errs, int(lio.state.n_loop)
 
 
 def build_drive(args):
     from msst_tpu.utils import sim
 
-    world = sim.World()
-    traj = sim.SimTrajectory(kind="circle", radius=args.radius,
-                             speed=args.speed)
+    if args.world == "dumbbell":
+        # out-and-back through the blind corridor: span ~= length - 10 so
+        # both pillar zones are entered; scans = one full shuttle period
+        world = sim.dumbbell_world(length=args.length)
+        span = args.length - 10.0
+        period = span * np.pi / args.speed
+        traj = sim.SimTrajectory(kind="shuttle", speed=args.speed,
+                                 period=period, x0=-20.0, y0=0.0)
+        if args.scans <= 0:
+            args.scans = int(period / 0.1) + 1
+    else:
+        world = sim.World()
+        traj = sim.SimTrajectory(kind="circle", radius=args.radius,
+                                 speed=args.speed)
     return sim.make_dataset(
         world, traj, n_scans=args.scans, scan_dt=0.1, n_scan=16,
         horizon=args.horizon, seed=args.seed,
@@ -65,8 +84,11 @@ def build_drive(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scans", type=int, default=500)
-    ap.add_argument("--horizon", type=int, default=360)
+    ap.add_argument("--scans", type=int, default=500,
+                    help="<=0 with --world dumbbell: one full shuttle period")
+    ap.add_argument("--world", choices=("room", "dumbbell"), default="room")
+    ap.add_argument("--length", type=float, default=150.0)
+    ap.add_argument("--horizon", type=int, default=900)
     ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--radius", type=float, default=8.0)
     ap.add_argument("--speed", type=float, default=2.5)
@@ -78,30 +100,49 @@ def main():
     ap.add_argument("--acc-bias", type=float, default=5e-2)
     ap.add_argument("--age-gate", type=float, default=8.0)
     ap.add_argument("--loop-only", action="store_true")
+    ap.add_argument("--off-only", action="store_true")
+    ap.add_argument("--max-keyframes", type=int, default=128)
+    ap.add_argument("--dump", default=None)
+    ap.add_argument("--profile", choices=("tiny", "full"), default="full",
+                    help="tiny = CPU test caps (diverge after ~15 m on this "
+                    "drive regardless of degradation or window — measured "
+                    "r4; kept for regression archaeology); full = "
+                    "production caps, the profile every committed number "
+                    "uses")
     args = ap.parse_args()
 
-    from msst_tpu.models.liosam.params import tiny_params
+    from msst_tpu.models.liosam.params import LioParams, tiny_params
 
     data = build_drive(args)
 
     def params(loop):
-        return tiny_params(
+        if args.profile == "tiny":
+            return tiny_params(
+                loop_closure_enabled=loop,
+                history_keyframe_search_time_diff=args.age_gate,
+                history_keyframe_search_num=8,
+                max_keyframes=args.max_keyframes)
+        return LioParams(
+            n_scan=16, horizon_scan=args.horizon,
+            max_points=16 * args.horizon + 64,
             loop_closure_enabled=loop,
             history_keyframe_search_time_diff=args.age_gate,
-            history_keyframe_search_num=8,
-            max_keyframes=128)
+            max_keyframes=args.max_keyframes)
 
     t0 = time.time()
     out = {}
     if not args.loop_only:
-        errs_off, _ = run(data, params(False), args.window, loop=False)
+        errs_off, _ = run(data, params(False), args.window, loop=False,
+                          dump=args.dump and args.dump + "_off")
         out["loop_off"] = dict(max_err=round(float(errs_off.max()), 3),
                                final_err=round(float(errs_off[-1]), 3))
-    errs_on, n_loops = run(data, params(True), args.window, loop=True)
-    out["loop_on"] = dict(max_err=round(float(errs_on.max()), 3),
-                          final_err=round(float(errs_on[-1]), 3),
-                          loops=n_loops)
-    if "loop_off" in out:
+    if not args.off_only:
+        errs_on, n_loops = run(data, params(True), args.window, loop=True,
+                               dump=args.dump and args.dump + "_on")
+        out["loop_on"] = dict(max_err=round(float(errs_on.max()), 3),
+                              final_err=round(float(errs_on[-1]), 3),
+                              loops=n_loops)
+    if "loop_off" in out and "loop_on" in out:
         out["ratio_max"] = round(
             out["loop_off"]["max_err"] / max(out["loop_on"]["max_err"], 1e-9),
             2)
