@@ -121,6 +121,21 @@ def loop_closure_step(state: LioState, p: LioParams):
             max_corr_dist=p.history_keyframe_search_radius * 2.0,
             transformation_eps=1e-6, rel_mse_eps=1e-6,
         )
+        if p.loop_icp_refine_dist > 0.0:
+            # coarse-to-fine (DEVIATION, improvement over the reference's
+            # single 30 m-correspondence pass): re-run from the coarse pose
+            # with a tight correspondence gate so salient structure (pillar
+            # faces, corners) locks the alignment instead of the dense
+            # weakly-textured bulk (measured: removes ~0.3 m of along-
+            # corridor bias in dumbbell start-zone loop measurements)
+            res2 = registration.icp_point2point_brute(
+                cur_cloud.xyz, cur_cloud.mask, hist_cloud.xyz,
+                hist_cloud.mask, res.pose, max_iters=50,
+                max_corr_dist=p.loop_icp_refine_dist,
+                transformation_eps=1e-6, rel_mse_eps=1e-6,
+            )
+            use2 = res2.converged & (res2.fitness <= res.fitness)
+            res = jax.tree.map(lambda a, b: jnp.where(use2, a, b), res2, res)
         good = res.converged & (res.fitness < p.history_keyframe_fitness_score)
         return good, res.pose, res.fitness, res.iters
 
@@ -152,6 +167,37 @@ def loop_closure_step(state: LioState, p: LioParams):
         meas = t_cand.between(corrected).inverse()  # factor cur -> cand
         sigma = jnp.maximum(fitness, 1e-2)
         si = jnp.full(6, 1.0) / sigma
+        if p.loop_degeneracy_ratio > 0.0:
+            # Anisotropic loop information (DEVIATION, an improvement over
+            # the reference's fitness-only acceptance :575-580): probe the
+            # ICP cost curvature per axis with re-association
+            # (registration.icp_curvature_brute).  A corridor-to-corridor
+            # revisit slides freely along the corridor axis while passing
+            # the fitness gate; scaling that axis's information toward zero
+            # keeps the loop's REAL constraints (lateral, vertical, yaw)
+            # without injecting an arbitrary along-axis measurement.
+            hist = _submap(state, cand,
+                           jnp.asarray(p.history_keyframe_search_num), p,
+                           p.loop_submap_cap)
+            kappa, _ = registration.icp_curvature_brute(
+                cur_cloud.xyz, cur_cloud.mask, hist.xyz, hist.mask,
+                icp_pose,
+                max_corr_dist=p.history_keyframe_search_radius * 2.0)
+
+            def axis_w(k3):
+                s = k3 / jnp.maximum(jnp.max(k3), 1e-12)
+                return jnp.clip(s / p.loop_degeneracy_ratio, 0.02, 1.0)
+
+            Rw = se3.quat_to_matrix(corrected.q)
+            # world-frame diagonal curvature -> factor-local axes (the
+            # between residual's tangent frame ~ the current pose's frame)
+            def to_local(w3):
+                return jnp.clip(jnp.diag(Rw.T @ jnp.diag(w3) @ Rw),
+                                0.02, 1.0)
+
+            w_rot = to_local(axis_w(jnp.maximum(kappa[:3], 0.0)))
+            w_trans = to_local(axis_w(jnp.maximum(kappa[3:], 0.0)))
+            si = si * jnp.concatenate([w_rot, w_trans])
         bslot = jnp.minimum(K - 1 + state.n_loop,
                             graph.betweens.i.shape[0] - 1)
         b = graph.betweens

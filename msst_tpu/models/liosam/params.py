@@ -168,6 +168,19 @@ class LioParams:
     # single-nearest (detectLoopClosureDistance, mapOptmization.cpp:610-643)
     loop_leaf_size: float = 0.4   # submap downsample for loop ICP (downSizeFilterICP)
 
+    # ICP-curvature loop gate (DEVIATION, improvement): per-axis cost
+    # curvature with re-association scales the loop factor's information —
+    # axes the match cannot observe (corridor-to-corridor revisits slide
+    # along the corridor while PASSING the fitness gate) contribute ~zero
+    # instead of an arbitrary measurement.  Ratio = observability threshold
+    # vs the best axis; 0.0 restores the reference's fitness-only isotropic
+    # factor (performLoopClosure, mapOptmization.cpp:575-604).
+    loop_degeneracy_ratio: float = 0.05
+    # coarse-to-fine loop ICP: after the reference's 30 m-correspondence
+    # alignment, refine with this correspondence gate (0 = reference-faithful
+    # single pass).  See loop.try_close.
+    loop_icp_refine_dist: float = 2.0
+
     # --- GPS fusion (params.yaml:14-18)
     use_gps_elevation: bool = False
     gps_cov_threshold: float = 2.0
@@ -214,6 +227,17 @@ class LioParams:
     odom_sigma_rot: float = 1e-3
     odom_sigma_trans: float = 1e-2
 
+    def __post_init__(self):
+        # the per-ring surf downsample packs ring ids into a 7-bit voxel-key
+        # field (ops/voxel.voxel_downsample extra_key; ADVICE r3): ring ids
+        # >= 128 would silently merge rings, so refuse such sensors here,
+        # where the geometry is configured, instead of corrupting downstream
+        if self.n_scan > 128:
+            raise ValueError(
+                f"n_scan={self.n_scan} exceeds the 128-ring bound of the "
+                "packed per-ring voxel key (ops/voxel.voxel_downsample "
+                "extra_key is 7 bits)")
+
     @property
     def imu_params(self):
         from ...ops.imu import ImuParams
@@ -238,6 +262,10 @@ def tiny_params(**overrides) -> LioParams:
         loop_submap_cap=4096, loop_leaf_size=0.8, max_gps_factors=16, max_loop_factors=16,
         knn_table_size=4096, scan2map_max_iters=10,
         degeneracy_threshold=30.0,  # caps are ~4x smaller, eigenvalues scale with them
+        # the tiny profile's sparse 1-deg-azimuth maps sit at the edge of
+        # the in-plane-support gate; the long-standing CPU test expectations
+        # were calibrated without it (ops-level oracle tests cover the gate)
+        vox_plane_min_spread=0.0,
     )
     base.update(overrides)
     return LioParams(**base)

@@ -491,6 +491,58 @@ def icp_point2point_brute(
                     rel_mse_eps, abs_mse_eps)
 
 
+def icp_curvature_brute(
+    src_xyz: Array, src_mask: Array,
+    tgt_xyz: Array, tgt_mask: Array,
+    pose: se3.Pose,
+    max_corr_dist: float = 2.0,
+    delta_t: float = 1.5,
+    delta_r: float = 0.1,
+    chunk: int = 8192,
+) -> tuple[Array, Array]:
+    """Per-axis curvature of the ICP cost around a converged `pose`:
+    ``(kappa, c0)`` with kappa (6,) = [rot x,y,z, trans x,y,z] central
+    second differences of the mean-squared-NN-distance cost, each probe
+    RE-ASSOCIATING correspondences (that is the point: an x-degenerate
+    corridor match slides along x with near-zero re-associated cost change,
+    which a fixed-correspondence Hessian cannot see — point-to-point
+    translation blocks are isotropic by construction).
+
+    Fitness alone accepts such matches (the reference gates loops ONLY on
+    fitness, ``performLoopClosure`` mapOptmization.cpp:575-580), and a loop
+    factor whose x is arbitrary corrupts the graph precisely on the drives
+    loop closure exists for.  13 brute NN sweeps (~13 ICP iterations'
+    cost) at loop rate buy the anisotropic gate."""
+
+    def cost(p):
+        moved = p.apply(src_xyz)
+        res = knn.nearest1_brute(tgt_xyz, tgt_mask, moved, src_mask,
+                                 chunk=chunk)
+        ok = res.valid[:, 0] & src_mask & (
+            res.sqdist[:, 0] <= max_corr_dist * max_corr_dist)
+        nm = jnp.maximum(jnp.sum(ok), 1)
+        return jnp.sum(jnp.where(ok, res.sqdist[:, 0], 0.0)) / nm
+
+    c0 = cost(pose)
+
+    def axis_kappa(i):
+        rot = i < 3
+        d = jnp.where(rot, delta_r, delta_t)
+        e = jnp.zeros(3).at[i % 3].set(d)
+
+        def perturb(sign):
+            dq = se3.so3_exp_quat(jnp.where(rot, sign * e, jnp.zeros(3)))
+            dt = jnp.where(rot, jnp.zeros(3), sign * e)
+            return se3.Pose(se3.quat_mul(dq, pose.q), pose.t + dt)
+
+        cp, cm = cost(perturb(1.0)), cost(perturb(-1.0))
+        return (cp + cm - 2.0 * c0) / (d * d)
+
+    # sequential map keeps one NN sweep's memory footprint at a time
+    kappa = jax.lax.map(axis_kappa, jnp.arange(6))
+    return kappa, c0
+
+
 def _icp_run(src_xyz, src_mask, nn1, tgt_xyz, init_pose, max_iters,
              max_corr_dist, fitness_max_dist, transformation_eps,
              rel_mse_eps, abs_mse_eps) -> IcpResult:

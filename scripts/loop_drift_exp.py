@@ -34,26 +34,43 @@ def run(data, p, window, loop, dump=None):
     from msst_tpu.models.liosam import LioSam
 
     lio = LioSam(p, window=window)  # pipeline schedules loop attempts itself
+    loop_events = []
+    n_prev = 0
     for i in range(0, len(data), window):
         batch = data[i:i + window]
         keys = ("xyz", "ring", "time_rel", "scan_start", "imu_t", "imu_gyro",
                 "imu_acc", "imu_rpy")
         lio.process_window([{k: s[k] for k in keys} for s in batch])
+        if loop:
+            lio.flush()
+            n_now = int(lio.state.n_loop)
+            if n_now > n_prev:
+                loop_events.append(i + window)
+                n_prev = n_now
     lio.flush()
     gt0 = data[0]["gt_pose"][:3, 3]
     gt = np.stack([s["gt_pose"][:3, 3] - gt0 for s in data])
     est = lio.trajectory.as_matrices()[:, :3, 3]
     n = min(len(est), len(gt))
     errs = np.linalg.norm(est[:n] - gt[:n], axis=1)
+    # post-optimization keyframe trajectory (the SLAM metric: correctPoses
+    # rewrites history, which the causal odometry stream cannot show)
+    kf_n = int(lio.state.kf.count)
+    kf_pose = np.asarray(lio.state.kf.pose6[:kf_n, 3:])
+    kf_time = np.asarray(lio.state.kf.time[:kf_n])
+    scan_t = np.asarray([float(s["scan_start"]) for s in data])
+    kf_gt = gt[np.searchsorted(scan_t, kf_time - 1e-4).clip(0, len(gt) - 1)]
+    kf_errs = np.linalg.norm(kf_pose - kf_gt, axis=1)
     if dump:
         np.savez(dump, errs=errs, est=est[:n], gt=gt[:n],
                  n_kf=int(lio.state.kf.count))
         # coarse curve for eyeballing where divergence starts
         marks = {int(i): round(float(errs[i]), 3)
                  for i in range(0, n, max(n // 16, 1))}
-        print(json.dumps({"curve": marks, "n_kf": int(lio.state.kf.count)}),
+        print(json.dumps({"curve": marks, "n_kf": int(lio.state.kf.count),
+                          "loop_events": loop_events}),
               file=sys.stderr)
-    return errs, int(lio.state.n_loop)
+    return errs, kf_errs, int(lio.state.n_loop)
 
 
 def build_drive(args):
@@ -68,7 +85,9 @@ def build_drive(args):
         traj = sim.SimTrajectory(kind="shuttle", speed=args.speed,
                                  period=period, x0=-20.0, y0=0.0)
         if args.scans <= 0:
-            args.scans = int(period / 0.1) + 1
+            # one full period + re-entry into the corridor: the return-leg
+            # loop closure must have scans AFTER it to show its correction
+            args.scans = int(period / 0.1) + 160
     else:
         world = sim.World()
         traj = sim.SimTrajectory(kind="circle", radius=args.radius,
@@ -103,6 +122,10 @@ def main():
     ap.add_argument("--off-only", action="store_true")
     ap.add_argument("--max-keyframes", type=int, default=128)
     ap.add_argument("--dump", default=None)
+    ap.add_argument("--set", action="append", default=[],
+                    help="extra LioParams overrides, key=value (evaluated); "
+                    "e.g. --set loop_submap_cap=8192 --set loop_leaf_size=0.8"
+                    " — CPU replays need smaller loop ICP shapes than TPU")
     ap.add_argument("--profile", choices=("tiny", "full"), default="full",
                     help="tiny = CPU test caps (diverge after ~15 m on this "
                     "drive regardless of degradation or window — measured "
@@ -115,32 +138,39 @@ def main():
 
     data = build_drive(args)
 
+    over = {k: eval(v) for k, v in (s.split("=", 1) for s in args.set)}
+
     def params(loop):
         if args.profile == "tiny":
             return tiny_params(
                 loop_closure_enabled=loop,
                 history_keyframe_search_time_diff=args.age_gate,
                 history_keyframe_search_num=8,
-                max_keyframes=args.max_keyframes)
+                max_keyframes=args.max_keyframes, **over)
         return LioParams(
             n_scan=16, horizon_scan=args.horizon,
             max_points=16 * args.horizon + 64,
             loop_closure_enabled=loop,
             history_keyframe_search_time_diff=args.age_gate,
-            max_keyframes=args.max_keyframes)
+            max_keyframes=args.max_keyframes, **over)
 
     t0 = time.time()
     out = {}
     if not args.loop_only:
-        errs_off, _ = run(data, params(False), args.window, loop=False,
-                          dump=args.dump and args.dump + "_off")
+        errs_off, kfe_off, _ = run(data, params(False), args.window,
+                                   loop=False,
+                                   dump=args.dump and args.dump + "_off")
         out["loop_off"] = dict(max_err=round(float(errs_off.max()), 3),
-                               final_err=round(float(errs_off[-1]), 3))
+                               final_err=round(float(errs_off[-1]), 3),
+                               kf_max_err=round(float(kfe_off.max()), 3))
     if not args.off_only:
-        errs_on, n_loops = run(data, params(True), args.window, loop=True,
-                               dump=args.dump and args.dump + "_on")
+        errs_on, kfe_on, n_loops = run(data, params(True), args.window,
+                                       loop=True,
+                                       dump=args.dump and args.dump + "_on")
         out["loop_on"] = dict(max_err=round(float(errs_on.max()), 3),
                               final_err=round(float(errs_on[-1]), 3),
+                              kf_max_err=round(float(kfe_on.max()), 3),
+                              kf_final_err=round(float(kfe_on[-1]), 3),
                               loops=n_loops)
     if "loop_off" in out and "loop_on" in out:
         out["ratio_max"] = round(

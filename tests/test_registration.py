@@ -319,3 +319,64 @@ def test_icp_brute_matches_grid_path():
     # neighbors and lift the mean-square fitness; the pose is what matters
     assert float(res.fitness) < 0.2
     assert bool(res.converged)
+
+
+def test_plane_min_spread_rejects_ring_arcs():
+    """A single grazing-incidence ring arc crossing a cell is THIN (passes
+    the thickness gate) but has no 2-D in-plane support; its fitted normal
+    tilts with noise and, at production shapes, torques pitch every scan
+    (measured r4: 10 m of along-corridor drag per 140 m).  The
+    plane_min_spread gate must kill arc cells and keep true planar cells."""
+    from msst_tpu.ops import voxelmap
+
+    rng = np.random.default_rng(3)
+    # one arc: a nearly-straight 1D string of points INSIDE one 0.8 m cell
+    # (cell [0, 0.8) in each axis for origin 0)
+    s = np.linspace(0.05, 0.75, 40, dtype=np.float32)
+    arc = np.stack([s, np.full_like(s, 0.4), np.full_like(s, 0.4)], axis=1)
+    arc += rng.normal(scale=0.005, size=arc.shape).astype(np.float32)
+    # true plane patch: 2-D disc support inside cell (3, 0, 0)
+    plane = np.stack([
+        rng.uniform(2.45, 3.15, 40), rng.uniform(0.05, 0.75, 40),
+        0.4 + rng.normal(scale=0.005, size=40)], axis=1).astype(np.float32)
+
+    xyz = jnp.asarray(np.concatenate([arc, plane]))
+    mask = jnp.ones(len(xyz), bool)
+
+    def valid(spread):
+        v = voxelmap.build(xyz, mask, 0.8, 64, "plane", table_size=128,
+                           plane_min_spread=spread,
+                           origin=jnp.zeros(3, jnp.float32))
+        m = np.asarray(v.valid & v.mask)
+        return m.sum(), np.asarray(v.mean)[m]
+
+    n0, _ = valid(0.0)
+    n1, means = valid(0.05)
+    assert n0 == 2, n0                # both fit without the gate
+    assert n1 == 1, n1                # the arc cell dies...
+    assert means[0, 0] > 2.0          # ...and the disc survives
+
+
+def test_icp_curvature_flags_corridor_axis():
+    """Cost curvature with re-association: an infinite-corridor match must
+    show near-zero curvature along the corridor axis and strong curvature
+    across it — the basis of the anisotropic loop factor
+    (LioParams.loop_degeneracy_ratio; the reference accepts loops on
+    fitness alone, performLoopClosure mapOptmization.cpp:575-580)."""
+    rng = np.random.default_rng(5)
+    n = 1200
+    x = rng.uniform(-12, 12, n).astype(np.float32)
+    side = rng.integers(0, 2, n)
+    y = np.where(side, 2.0, -2.0).astype(np.float32)
+    z = rng.uniform(0, 3, n).astype(np.float32)
+    wallpts = np.stack(
+        [x, y + rng.normal(scale=0.01, size=n).astype(np.float32), z], axis=1)
+    src = jnp.asarray(wallpts[: n // 2])
+    tgt = jnp.asarray(wallpts)
+    kappa, c0 = reg.icp_curvature_brute(
+        src, jnp.ones(src.shape[0], bool), tgt, jnp.ones(n, bool),
+        se3.Pose.identity(), max_corr_dist=2.0, chunk=512)
+    k = np.asarray(kappa)
+    kt = k[3:]
+    # x (corridor axis) must be far below y (across) curvature
+    assert kt[0] < 0.05 * kt[1], kt
