@@ -556,9 +556,10 @@ def _features_from_moments(corner_mom, surf_mom, anchor: Array, p: LioParams):
     cx, cm = voxelmap.moments_centroids(corner_mom,
                                         p.mapping_corner_leaf_size, anchor,
                                         group_bits=ck or 0)
-    sx, sm = voxelmap.moments_centroids(surf_mom,
-                                        p.mapping_surf_leaf_size, anchor,
-                                        group_bits=sk or 0)
+    sx, sm, s_cnt = voxelmap.moments_centroids(surf_mom,
+                                               p.mapping_surf_leaf_size,
+                                               anchor, group_bits=sk or 0,
+                                               return_counts=True)
     tiny = _tiny_cloud()
 
     def grid(_cap):
@@ -577,7 +578,8 @@ def _features_from_moments(corner_mom, surf_mom, anchor: Array, p: LioParams):
             sx, sm, p.vox_surf_leaf, p.vox_surf_cap,
             "plane", table_size=2 * p.vox_surf_cap, origin=anchor,
             presorted=sk is not None,
-            plane_min_spread=p.vox_plane_min_spread),
+            plane_min_spread=p.vox_plane_min_spread,
+            weights=s_cnt),
         corner_mom=corner_mom, surf_mom=surf_mom, anchor=anchor,
         valid=jnp.asarray(True),
     )

@@ -140,6 +140,8 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
           kind: str, table_size: int = 8192, min_points: int = 3,
           line_ratio: float = 3.0, plane_thickness: float = 0.1,
           plane_min_spread: float = 0.0,
+          plane_spread_min_count: float = 16.0,
+          weights: Array | None = None,
           origin: Array | None = None,
           presorted: bool = False) -> VoxelFeatureMap:
     """Voxelize + fit per-voxel features.
@@ -156,6 +158,14 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
     along-track velocity, and drag x by ~10 m over a 140 m corridor
     (measured r4; the kNN path escapes because multi-scan 5-NN
     neighborhoods usually span rings).  0.0 = no gate (legacy behavior).
+    The gate only fires once a cell has plane_spread_min_count TRUE points
+    of support (`weights`: per-row point counts when rows are fine-cell
+    centroids — the incremental moment path): young cells during session
+    bootstrap have too few points for 2-D support to have ACCUMULATED yet,
+    and blanking them starves the boot maps (measured r4: +0.9 m session
+    gauge error on the bench loop drive, err jump inside the first 40
+    scans).  A persistent arc keeps gaining count while staying thin, so
+    it is rejected as soon as it has real evidence.
     origin: when given, the voxel grid is anchored at `origin` and grouping
     uses one packed int32 sort key over a +-512-cell domain around it (4x
     cheaper than the lexsort; points outside the domain are dropped — local
@@ -186,11 +196,13 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
         mask = mask & in_range
         key = (rel[:, 0] << 20) | (rel[:, 1] << 10) | rel[:, 2]
         key = jnp.where(mask, key, jnp.int32(2**30))
+        wts = (jnp.ones(xyz.shape[0], xyz.dtype) if weights is None
+               else weights.astype(xyz.dtype))
         if presorted:
-            key_s, xyz_s = key, xyz
+            key_s, xyz_s, wts_s = key, xyz, wts
         else:
-            key_s, x0, x1, x2 = jax.lax.sort(
-                (key, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1)
+            key_s, x0, x1, x2, wts_s = jax.lax.sort(
+                (key, xyz[:, 0], xyz[:, 1], xyz[:, 2], wts), num_keys=1)
             xyz_s = jnp.stack([x0, x1, x2], axis=1)
         valid_s = key_s < jnp.int32(2**30)
         rel_s = jnp.stack([(key_s >> 20) & 1023, (key_s >> 10) & 1023,
@@ -204,6 +216,9 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
         cs = jnp.stack([kx[order], ky[order], kz[order]], axis=1)
         valid_s = mask[order]
         xyz_s = xyz[order]
+        wts = (jnp.ones(xyz.shape[0], xyz.dtype) if weights is None
+               else weights.astype(xyz.dtype))
+        wts_s = wts[order]
 
     new_voxel = jnp.any(cs != jnp.roll(cs, 1, axis=0), axis=1)
     new_voxel = new_voxel.at[0].set(True) & valid_s
@@ -223,9 +238,11 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
     iu, ju = jnp.array([0, 0, 0, 1, 1, 2]), jnp.array([0, 1, 2, 1, 2, 2])
     outer6 = r_s[:, iu] * r_s[:, ju]
     moments = segments.sorted_segment_sum(
-        jnp.concatenate([r_s, outer6, w[:, None]], axis=1), seg, capacity,
+        jnp.concatenate([r_s, outer6, w[:, None],
+                         (w * wts_s)[:, None]], axis=1), seg, capacity,
         boundaries=bounds, compensated=False)
     rsums, sq6, cnt = moments[:, :3], moments[:, 3:9], moments[:, 9]
+    cnt_pts = moments[:, 10]  # true point support (= cnt when weights=None)
     coords_v = segments.sorted_segment_first(cs, seg, capacity,
                                              boundaries=bounds)
     coords_v = jnp.where((bounds[0] < bounds[1])[:, None], coords_v, -_BIG)
@@ -246,8 +263,9 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
         d = -jnp.sum(direction * mu, axis=1)
         quality_ok = jnp.sqrt(jnp.maximum(vals[:, 0], 0.0)) <= plane_thickness
         if plane_min_spread > 0.0:
-            quality_ok &= (jnp.sqrt(jnp.maximum(vals[:, 1], 0.0))
-                           >= plane_min_spread)
+            spread_ok = (jnp.sqrt(jnp.maximum(vals[:, 1], 0.0))
+                         >= plane_min_spread)
+            quality_ok &= spread_ok | (cnt_pts < plane_spread_min_count)
     else:
         direction = vecs[:, 2, :]          # largest eigvec = line direction
         d = jnp.zeros(capacity, xyz.dtype)
@@ -498,15 +516,20 @@ def merge_moments(a: VoxelMoments, b: VoxelMoments, capacity: int,
 
 
 def moments_centroids(m: VoxelMoments, leaf: float | Array, origin: Array,
-                      group_bits: int = 0) -> tuple[Array, Array]:
-    """(xyz, mask): one centroid pseudo-point per occupied cell — the input
-    the coarse feature fit (:func:`build`) consumes, identical to the
-    reference's centroid-downsampled local map."""
+                      group_bits: int = 0, return_counts: bool = False):
+    """(xyz, mask[, cnt]): one centroid pseudo-point per occupied cell — the
+    input the coarse feature fit (:func:`build`) consumes, identical to the
+    reference's centroid-downsampled local map.  return_counts adds each
+    centroid's TRUE point count (the fit's support-aware gates consume it
+    as `weights`)."""
     mask = m.key < _BIG
     center = _decode_center(m.key, jnp.asarray(leaf, jnp.float32),
                             jnp.asarray(origin, jnp.float32), group_bits)
     xyz = center + m.rsum / jnp.maximum(m.cnt, 1.0)[:, None]
-    return jnp.where(mask[:, None], xyz, 0.0), mask
+    xyz = jnp.where(mask[:, None], xyz, 0.0)
+    if return_counts:
+        return xyz, mask, jnp.where(mask, m.cnt, 0.0)
+    return xyz, mask
 
 
 class VoxelLookup(NamedTuple):
