@@ -383,21 +383,31 @@ def scan_to_map_voxel(
         return pose, P, degenerate, conv | plateau, it + 1, cost, nc, ns, \
             assoc, pref
 
+    # carry seeds derive from the inputs (a numeric no-op) so shard_map's
+    # varying-manual-axes check passes when the clouds are device-varying
+    # (multisession rendezvous runs this per session) — same trick as
+    # _icp_run
+    zero = jnp.sum(pmask).astype(init_pose.dtype) * 0.0
+    izero = jnp.sum(pmask).astype(jnp.int32) * 0
+    bzero = izero > 0  # varying False
+
     def _empty_hit(n):
         return voxelmap.VoxelLookup(
-            idx=jnp.zeros((n,), jnp.int32),
-            found=jnp.zeros((n,), bool),
-            mean=jnp.zeros((n, 3), init_pose.dtype),
-            direction=jnp.zeros((n, 3), init_pose.dtype),
-            d=jnp.zeros((n,), init_pose.dtype),
+            idx=jnp.zeros((n,), jnp.int32) + izero,
+            found=jnp.zeros((n,), bool) | bzero,
+            mean=jnp.zeros((n, 3), init_pose.dtype) + zero,
+            direction=jnp.zeros((n, 3), init_pose.dtype) + zero,
+            d=jnp.zeros((n,), init_pose.dtype) + zero,
         )
 
-    P0 = jnp.eye(6, dtype=init_pose.dtype)
+    P0 = jnp.eye(6, dtype=init_pose.dtype) + zero
     assoc0 = _empty_hit(pts.shape[0])
-    state = (init_pose, P0, jnp.asarray(False), jnp.asarray(False),
-             jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf),
-             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-             assoc0, init_pose)
+    state = (init_pose + zero, P0, bzero, bzero,
+             jnp.asarray(0, jnp.int32) + izero,
+             jnp.asarray(jnp.inf) + zero,
+             jnp.asarray(0, jnp.int32) + izero,
+             jnp.asarray(0, jnp.int32) + izero,
+             assoc0, init_pose + zero)
     pose, P, degenerate, done, it, cost, nc, ns, _, _ = jax.lax.while_loop(
         cond, body, state)
     return ScanToMapResult(pose, degenerate, done, it, nc, ns)
@@ -512,7 +522,21 @@ def icp_curvature_brute(
     fitness, ``performLoopClosure`` mapOptmization.cpp:575-580), and a loop
     factor whose x is arbitrary corrupts the graph precisely on the drives
     loop closure exists for.  13 brute NN sweeps (~13 ICP iterations'
-    cost) at loop rate buy the anisotropic gate."""
+    cost) at loop rate buy the anisotropic gate.
+
+    Rotation probes are conjugated about the MOVED CLOUD's centroid
+    (``x' = R_dq (x - c) + c``), not the world origin: a left-multiplied dq
+    on a cloud at distance ``|c|`` from the origin sweeps every point by
+    ``~delta_r * |c|``, so the probe would measure POSITION, not rotation
+    observability — at KITTI scale the lever arm destroys every
+    correspondence and all rotation axes read as position-dependent garbage
+    (ADVICE r4 high).  Conjugation makes kappa translation-invariant: the
+    probe couples only to the cloud's own extent.
+
+    A probe that destroys ALL correspondences returns the saturated cost
+    ``max_corr_dist**2`` (the per-pair ceiling) instead of 0 — losing every
+    match under a perturbation is maximal sensitivity, not perfect
+    unobservability (ADVICE r4 medium)."""
 
     def cost(p):
         moved = p.apply(src_xyz)
@@ -520,10 +544,15 @@ def icp_curvature_brute(
                                  chunk=chunk)
         ok = res.valid[:, 0] & src_mask & (
             res.sqdist[:, 0] <= max_corr_dist * max_corr_dist)
-        nm = jnp.maximum(jnp.sum(ok), 1)
-        return jnp.sum(jnp.where(ok, res.sqdist[:, 0], 0.0)) / nm
+        n_ok = jnp.sum(ok)
+        mean = jnp.sum(jnp.where(ok, res.sqdist[:, 0], 0.0)) / jnp.maximum(
+            n_ok, 1)
+        return jnp.where(n_ok == 0, max_corr_dist * max_corr_dist, mean)
 
     c0 = cost(pose)
+    w = src_mask.astype(src_xyz.dtype)
+    center = (jnp.sum(pose.apply(src_xyz) * w[:, None], axis=0)
+              / jnp.maximum(jnp.sum(w), 1.0))
 
     def axis_kappa(i):
         rot = i < 3
@@ -533,7 +562,12 @@ def icp_curvature_brute(
         def perturb(sign):
             dq = se3.so3_exp_quat(jnp.where(rot, sign * e, jnp.zeros(3)))
             dt = jnp.where(rot, jnp.zeros(3), sign * e)
-            return se3.Pose(se3.quat_mul(dq, pose.q), pose.t + dt)
+            # rotation conjugated about `center`: applied to a point x this
+            # is R_dq (pose(x) - center) + center; translations are plain
+            return se3.Pose(
+                se3.quat_mul(dq, pose.q),
+                se3.quat_rotate(dq, pose.t - jnp.where(rot, center, 0.0))
+                + jnp.where(rot, center, 0.0) + dt)
 
         cp, cm = cost(perturb(1.0)), cost(perturb(-1.0))
         return (cp + cm - 2.0 * c0) / (d * d)

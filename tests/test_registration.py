@@ -380,3 +380,57 @@ def test_icp_curvature_flags_corridor_axis():
     kt = k[3:]
     # x (corridor axis) must be far below y (across) curvature
     assert kt[0] < 0.05 * kt[1], kt
+
+
+def test_icp_curvature_translation_invariant():
+    """Curvature must measure the MATCH's observability, not the scene's
+    distance from the world origin: rotation probes are conjugated about the
+    cloud centroid, so kappa(scene) == kappa(scene + offset) (ADVICE r4
+    high — the un-conjugated probe swept far scenes by delta_r * |offset|,
+    crushing fully-observable rotation axes to the information floor)."""
+    rng = np.random.default_rng(11)
+    n = 600
+    # corridor walls + floor + a pillar: roll/pitch/yaw all observable
+    x = rng.uniform(-10, 10, n).astype(np.float32)
+    y = np.where(rng.integers(0, 2, n), 2.0, -2.0).astype(np.float32)
+    z = rng.uniform(0, 3, n).astype(np.float32)
+    walls = np.stack([x, y, z], axis=1)
+    floor = np.stack([rng.uniform(-10, 10, n), rng.uniform(-2, 2, n),
+                      np.zeros(n)], axis=1).astype(np.float32)
+    th = rng.uniform(0, 2 * np.pi, 200)
+    pillar = np.stack([5.0 + 0.3 * np.cos(th), 0.3 * np.sin(th),
+                       rng.uniform(0, 3, 200)], axis=1).astype(np.float32)
+    pts = np.concatenate([walls, floor, pillar]).astype(np.float32)
+
+    def kappa_at(offset):
+        p = pts + np.asarray(offset, np.float32)
+        src = jnp.asarray(p[::2])
+        tgt = jnp.asarray(p)
+        k, _ = reg.icp_curvature_brute(
+            src, jnp.ones(src.shape[0], bool), tgt,
+            jnp.ones(tgt.shape[0], bool),
+            se3.Pose.identity(), max_corr_dist=2.0, chunk=512)
+        return np.asarray(k)
+
+    k0 = kappa_at([0.0, 0.0, 0.0])
+    k1 = kappa_at([400.0, -150.0, 0.0])
+    assert np.all(k0[:3] > 0.0), k0      # every rotation axis observable
+    np.testing.assert_allclose(k1, k0, rtol=0.35, atol=1e-4)
+
+
+def test_icp_curvature_lost_correspondences_saturate():
+    """A probe that destroys every correspondence must read as maximally
+    sensitive (saturated cost), not kappa=0 (ADVICE r4 medium)."""
+    rng = np.random.default_rng(3)
+    # a tight cluster: the +-1.5 m translation probe with a small corr gate
+    # loses all matches
+    pts = rng.normal(scale=0.1, size=(200, 3)).astype(np.float32)
+    src = jnp.asarray(pts[::2])
+    tgt = jnp.asarray(pts)
+    kappa, c0 = reg.icp_curvature_brute(
+        src, jnp.ones(src.shape[0], bool), tgt, jnp.ones(tgt.shape[0], bool),
+        se3.Pose.identity(), max_corr_dist=0.5, delta_t=1.5, chunk=256)
+    k = np.asarray(kappa)
+    assert float(c0) < 0.05
+    # all three translation probes lost their matches -> saturated, large
+    assert np.all(k[3:] > 0.05), k
