@@ -55,10 +55,23 @@ def _lio_run(scans_iter, params=None, loop=False, gps=False, progress=True,
         _stream_viz(lio, viz_dir, n)
     # run stats: how often the scan-matching degeneracy projection fired
     # (the reference propagates this flag in odometry covariance[0],
-    # mapOptmization.cpp:1696-1699) — consumed by --stats-json
+    # mapOptmization.cpp:1696-1699) — consumed by --stats-json.  The flags
+    # are device scalars: fetch them in ONE stacked D2H instead of one
+    # ~27-30 ms tunneled transfer per scan (ADVICE r4 low — a
+    # multi-thousand-scan replay spent minutes in per-element teardown)
+    import jax.numpy as jnp
+    n_degen = 0
+    if degen_flags:
+        # fixed-size padded chunks: a bare stack would be shape-keyed on the
+        # run length (a fresh remote compile per distinct scan count)
+        C = 1024
+        pad = (-len(degen_flags)) % C
+        flags = degen_flags + [jnp.zeros((), bool)] * pad
+        chunks = [jnp.stack(flags[i:i + C]) for i in range(0, len(flags), C)]
+        n_degen = int(sum(np.asarray(c).sum() for c in chunks))
     lio.last_run_stats = {
         "scans": n,
-        "degenerate_scans": int(np.sum([bool(d) for d in degen_flags])),
+        "degenerate_scans": n_degen,
         "loops_closed": int(lio.state.n_loop),
     }
     return lio

@@ -72,6 +72,11 @@ class StepOutput(NamedTuple):
     n_surf: Array
     kf_count: Array
     s2m_iterations: Array
+    # capped-structure telemetry (VERDICT r4 #6): occupancy fraction of the
+    # (corner, surf) local-map tables and cells dropped by cap overflow
+    # since the last re-bake — the pipeline warns host-side on saturation
+    map_occupancy: Array   # (2,) float in [0, 1]
+    map_dropped: Array     # (2,) int32 cumulative
 
 
 def unpack_step_input(points: Array, aux: Array, p: LioParams) -> StepInput:
@@ -119,9 +124,10 @@ def odometry_step_packed(state: LioState, points: Array, aux: Array,
     return odometry_step(state, unpack_step_input(points, aux, p), p)
 
 
-def _passthrough_output(state: LioState) -> StepOutput:
+def _passthrough_output(state: LioState, p: LioParams) -> StepOutput:
     """StepOutput for a padded (invalid) window slot: state unchanged."""
     pose = se3.Pose.from_vec6(state.pose6)
+    occ, dropped = _map_telemetry(state.local_map, p)
     return StepOutput(
         pose=pose, pose_matrix=pose.to_matrix(), pose6=state.pose6,
         velocity=state.filter.nav.v, bias=state.filter.bias,
@@ -129,6 +135,7 @@ def _passthrough_output(state: LioState) -> StepOutput:
         n_corner=jnp.asarray(0, jnp.int32), n_surf=jnp.asarray(0, jnp.int32),
         kf_count=state.kf.count,
         s2m_iterations=jnp.asarray(0, jnp.int32),
+        map_occupancy=occ, map_dropped=dropped,
     )
 
 
@@ -178,7 +185,7 @@ def _window_core(state: LioState, preps, valid_w: Array, p: LioParams):
         st, out = jax.lax.cond(
             valid,
             lambda s: odometry_core(s, ps, p),
-            lambda s: (s, _passthrough_output(s)),
+            lambda s: (s, _passthrough_output(s, p)),
             st,
         )
         return st, out
@@ -513,6 +520,7 @@ def _rebuild_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
         surf_mom=voxelmap.empty_moments(p.map_surf_cap if use_inc else 8),
         anchor=position,
         valid=jnp.asarray(True),
+        mom_dropped=jnp.zeros(2, jnp.int32),
     )
 
 
@@ -542,7 +550,8 @@ def _group_bits(coarse: float, fine: float) -> int | None:
     return k if (1 << k) == r else None
 
 
-def _features_from_moments(corner_mom, surf_mom, anchor: Array, p: LioParams):
+def _features_from_moments(corner_mom, surf_mom, anchor: Array, p: LioParams,
+                           mom_dropped: Array | None = None):
     """LocalMap from persistent moment tables: fine-cell centroids feed the
     coarse voxel-feature fit — identical semantics to the full rebuild's
     centroid-downsample-then-fit (``extractCloud`` :899-938 + ops/voxelmap),
@@ -582,6 +591,8 @@ def _features_from_moments(corner_mom, surf_mom, anchor: Array, p: LioParams):
             weights=s_cnt),
         corner_mom=corner_mom, surf_mom=surf_mom, anchor=anchor,
         valid=jnp.asarray(True),
+        mom_dropped=(jnp.zeros(2, jnp.int32) if mom_dropped is None
+                     else mom_dropped),
     )
 
 
@@ -607,13 +618,16 @@ def _rebake_local_map(kf: KeyframeStore, position: Array, scan_time: Array,
     ck, sk = _moment_group_bits(p)
     sel_idx, sel_ok = _select_nearby(kf, position, scan_time, p)
     corner_flat, surf_flat = _gather_selected(kf, sel_idx, sel_ok)
-    corner_mom = voxelmap.points_to_moments(
+    corner_mom, c_drop = voxelmap.points_to_moments(
         corner_flat.xyz, corner_flat.mask, p.mapping_corner_leaf_size,
-        position, p.map_corner_cap, group_bits=ck or 0)
-    surf_mom = voxelmap.points_to_moments(
+        position, p.map_corner_cap, group_bits=ck or 0, return_stats=True)
+    surf_mom, s_drop = voxelmap.points_to_moments(
         surf_flat.xyz, surf_flat.mask, p.mapping_surf_leaf_size,
-        position, p.map_surf_cap, group_bits=sk or 0)
-    lm = _features_from_moments(corner_mom, surf_mom, position, p)
+        position, p.map_surf_cap, group_bits=sk or 0, return_stats=True)
+    # the re-bake rebuilds the tables from scratch, so the cumulative
+    # dropped counter restarts at this bake's overflow
+    lm = _features_from_moments(corner_mom, surf_mom, position, p,
+                                mom_dropped=jnp.stack([c_drop, s_drop]))
     baked = jnp.zeros((K,), bool).at[sel_idx].set(sel_ok)
     return lm, kf.pose6, baked
 
@@ -641,6 +655,27 @@ def _kf_moments(kf: KeyframeStore, slot: Array, pose6: Array, anchor: Array,
 
 def _use_incremental(p: LioParams) -> bool:
     return p.scan2map_method == "voxel" and p.map_update == "incremental"
+
+
+def _map_telemetry(lm, p: LioParams) -> tuple[Array, Array]:
+    """(occupancy (2,) float in [0,1], dropped (2,) int32) of the local-map
+    capped structures — the corner/surf moment tables in incremental mode,
+    the voxel feature tables in rebuild mode, the flat map clouds in knn
+    mode.  Cheap reductions over already-resident arrays (VERDICT r4 #6)."""
+    from ...ops import voxelmap
+
+    if _use_incremental(p):
+        occ = jnp.stack([
+            jnp.sum(lm.corner_mom.key < voxelmap._BIG) / p.map_corner_cap,
+            jnp.sum(lm.surf_mom.key < voxelmap._BIG) / p.map_surf_cap,
+        ])
+    elif p.scan2map_method == "voxel":
+        occ = jnp.stack([jnp.mean(lm.corner_vox.mask.astype(jnp.float32)),
+                         jnp.mean(lm.surf_vox.mask.astype(jnp.float32))])
+    else:
+        occ = jnp.stack([jnp.mean(lm.corner_mask.astype(jnp.float32)),
+                         jnp.mean(lm.surf_mask.astype(jnp.float32))])
+    return occ.astype(jnp.float32), lm.mom_dropped
 
 
 def _graph_optimize(graph, p: LioParams, free_mask=None, iters=2):
@@ -711,7 +746,16 @@ def _evict_oldest_keyframe(state: LioState, p: LioParams) -> LioState:
     rb, Ji, Jj = graph_ops._between_terms(graph.poses, graph.betweens)
     wb = ((graph.betweens.i == 0) & (graph.betweens.j == 1)
           & graph.betweens.mask).astype(jnp.float32)
-    H00 = H00 + jnp.einsum("nri,n,nrj->ij", Ji, wb, Ji)
+    # a REVERSED 0<->1 factor (i==1, j==0) carries the same coupling with
+    # the Jacobian roles swapped; folding it here keeps its information in
+    # the marginal instead of silently dropping it in the reparent pass
+    # below (which collapses it to a masked self-factor).  Loop factors are
+    # currently always j<i (cand < cur), so this is defensive — but the
+    # invariant is no longer load-bearing (ADVICE r4 low).
+    wb2 = ((graph.betweens.i == 1) & (graph.betweens.j == 0)
+           & graph.betweens.mask).astype(jnp.float32)
+    H00 = H00 + jnp.einsum("nri,n,nrj->ij", Ji, wb, Ji) \
+        + jnp.einsum("nri,n,nrj->ij", Jj, wb2, Jj)
     # GPS factors on the evicted pose join H00: the Schur complement then
     # transfers their absolute information onto pose 1 instead of losing it
     # (the reference's reset keeps it via the iSAM marginal,
@@ -719,8 +763,10 @@ def _evict_oldest_keyframe(state: LioState, p: LioParams) -> LioState:
     rg, Jg = graph_ops._gps_terms(graph.poses, graph.gps)
     wg = (graph.gps.mask & (graph.gps.idx == 0)).astype(jnp.float32)
     H00 = H00 + jnp.einsum("nri,n,nrj->ij", Jg, wg, Jg)
-    H01 = jnp.einsum("nri,n,nrj->ij", Ji, wb, Jj)
-    H11 = jnp.einsum("nri,n,nrj->ij", Jj, wb, Jj)
+    H01 = jnp.einsum("nri,n,nrj->ij", Ji, wb, Jj) \
+        + jnp.einsum("nri,n,nrj->ij", Jj, wb2, Ji)
+    H11 = jnp.einsum("nri,n,nrj->ij", Jj, wb, Jj) \
+        + jnp.einsum("nri,n,nrj->ij", Ji, wb2, Ji)
     M = H11 - H01.T @ jnp.linalg.solve(H00 + 1e-6 * jnp.eye(6), H01)
     marg_sqrt_info = jnp.sqrt(jnp.clip(jnp.diag(M), 1e-6, 1e8))
 
@@ -934,15 +980,17 @@ def _insert_keyframe(state: LioState, pose6: Array, scan_time: Array,
             cmom, smom = _kf_moments(kf, slot, kf.pose6[slot], lm.anchor, p)
             trim_r = p.surrounding_keyframe_search_radius
             ck, sk = _moment_group_bits(p)
-            cmerged = voxelmap.merge_moments(
+            cmerged, c_drop = voxelmap.merge_moments(
                 lm.corner_mom, cmom, p.map_corner_cap, trim_center=pos,
                 trim_radius=trim_r, leaf=p.mapping_corner_leaf_size,
-                origin=lm.anchor, group_bits=ck or 0)
-            smerged = voxelmap.merge_moments(
+                origin=lm.anchor, group_bits=ck or 0, return_stats=True)
+            smerged, s_drop = voxelmap.merge_moments(
                 lm.surf_mom, smom, p.map_surf_cap, trim_center=pos,
                 trim_radius=trim_r, leaf=p.mapping_surf_leaf_size,
-                origin=lm.anchor, group_bits=sk or 0)
-            lmap = _features_from_moments(cmerged, smerged, lm.anchor, p)
+                origin=lm.anchor, group_bits=sk or 0, return_stats=True)
+            lmap = _features_from_moments(
+                cmerged, smerged, lm.anchor, p,
+                mom_dropped=lm.mom_dropped + jnp.stack([c_drop, s_drop]))
             return (lmap, kf.baked_pose6.at[slot].set(kf.pose6[slot]),
                     kf.baked.at[slot].set(True))
 
@@ -1210,6 +1258,7 @@ def odometry_core(state: LioState, ps: PreparedScan, p: LioParams):
         degenerate=degenerate,
         loop_closed=jnp.asarray(False),
     )
+    occ, dropped = _map_telemetry(new_state.local_map, p)
     out = StepOutput(
         pose=pose_out, pose_matrix=pose_out.to_matrix(),
         pose6=pose6_out, velocity=fs_new.nav.v, bias=fs_new.bias,
@@ -1217,6 +1266,7 @@ def odometry_core(state: LioState, ps: PreparedScan, p: LioParams):
         n_corner=ps.n_corner, n_surf=ps.n_surf,
         kf_count=new_state.kf.count,
         s2m_iterations=s2m_iters,
+        map_occupancy=occ, map_dropped=dropped,
     )
     return new_state, out
 

@@ -164,11 +164,27 @@ class LioSam:
         self._readback_interval = max(1, readback_interval)
         self._pending: list = []  # (time, device pose_matrix)
         self._pending_loops: list = []  # device `found` flags, read lazily
+        # a closed loop rewrote keyframe history: the recorded trajectory
+        # tail is stale until the next resync.  Resyncing EAGERLY at every
+        # flush paid ~0.2 s of D2H latency per closed loop inside the hot
+        # feed loop (r4 bench: resync 0.38 s of a 2.5 s phase); nothing
+        # reads the trajectory mid-feed, so the rewrite is DEFERRED to the
+        # consumers (trajectory / flush / save_map).  The only mid-feed
+        # reader is the loop-plausibility pre-gate, whose radius margin
+        # (+1 m on a 15 m radius) absorbs the stale tail by design.
+        self._resync_needed = False
         self._executor = None          # lazy worker for process_window_async
         self._dispatch_future = None
         # wall-time accounting per host-side stage (pack/dispatch/loop/
         # flush/resync) — near-free perf_counter pairs; read via .timings
         self.timings: dict = {}
+        # capped-structure health (VERDICT r4 #6): running max of the
+        # local-map table occupancy and the cumulative overflow-dropped
+        # cell count, updated at every flush from StepOutput telemetry;
+        # saturation warns once host-side instead of silently thinning the
+        # map (the failure mode that diverged the tiny profile in r4)
+        self.map_health = {"max_occupancy": 0.0, "dropped_cells": 0}
+        self._overflow_warned = False
 
     def _acct(self, key, t0):
         self.timings[key] = self.timings.get(key, 0.0) + (
@@ -301,7 +317,8 @@ class LioSam:
         self.state = new_state
         self._last_scan_time = float(scan_start)
         self._scan_count += 1
-        self._pending.append((scan_start, out.pose_matrix))
+        self._pending.append((scan_start, out.pose_matrix,
+                              out.map_occupancy, out.map_dropped))
 
         if self._boot_scans is not None:
             self._boot_scans.append(dict(xyz=xyz, ring=ring,
@@ -498,7 +515,8 @@ class LioSam:
         new_state, outs = window_fn(self.state, jnp.asarray(flat_w), self.p)
         self._acct("dispatch", t0)
         self.state = new_state
-        self._pending.append((times, outs.pose_matrix))
+        self._pending.append((times, outs.pose_matrix,
+                              outs.map_occupancy[-1], outs.map_dropped[-1]))
 
         if len(self._pending) * self.window >= self._readback_interval:
             self._flush_pending()
@@ -518,6 +536,7 @@ class LioSam:
         scans = self._boot_scans
         self._boot_scans = None  # re-feed must not re-trigger
         self._pending_loops.clear()
+        self._resync_needed = False
         fs = self.state.filter
         q = np.asarray(fs.nav.q, np.float64)   # wxyz (ops/se3 convention)
         v = np.asarray(fs.nav.v, np.float64)
@@ -614,13 +633,15 @@ class LioSam:
             return
         devs: list = []
         meta: list = []  # (times_list, device rows)
-        for t, m in self._pending:
+        health: list = []  # ((2,) occupancy, (2,) dropped) device rows
+        for t, m, occ, drop in self._pending:
             if isinstance(t, (list, tuple)):
                 devs.append(m)          # (W, 4, 4) — padded rows trimmed on host
                 meta.append((list(t), m.shape[0]))
             else:
                 devs.append(m[None])    # process_scan path (non-windowed)
                 meta.append(([t], 1))
+            health.append((occ, drop))
         self._pending = []
         loops, self._pending_loops = self._pending_loops, []
         # pad both device lists to a multiple of the canonical flush length:
@@ -639,22 +660,28 @@ class LioSam:
         if loops:
             founds_dev = jnp.stack(_pad_to_chunk(
                 loops, jnp.zeros((), bool)))
-        mats_dev = None
+        mats_dev = health_dev = None
         if devs:
             devs = _pad_to_chunk(devs, devs[-1])
             mats_dev = devs[0] if len(devs) == 1 else jnp.concatenate(devs)
+            health = _pad_to_chunk(health, health[-1])
+            health_dev = (jnp.stack([h[0] for h in health]),
+                          jnp.stack([h[1] for h in health]))
         t0 = time.perf_counter()
         if mats_dev is not None and founds_dev is not None:
-            mats_all, founds = jax.device_get((mats_dev, founds_dev))
+            mats_all, founds, health_np = jax.device_get(
+                (mats_dev, founds_dev, health_dev))
         elif mats_dev is not None:
-            mats_all, founds = jax.device_get(mats_dev), np.zeros(0, bool)
+            mats_all, health_np = jax.device_get((mats_dev, health_dev))
+            founds = np.zeros(0, bool)
         else:
             founds = jax.device_get(founds_dev)
             self._acct("flush_get", t0)
             if founds.any():
-                self._resync_trajectory()
+                self._resync_needed = True
             return
         self._acct("flush_get", t0)
+        self._update_map_health(health_np)
         times: list = []
         rows: list = []
         off = 0
@@ -671,6 +698,7 @@ class LioSam:
             self._last_scan_time = None
             self._init_vel = None  # stale bootstrap hint must not re-apply
             self._pending_loops.clear()
+            self._resync_needed = False  # fresh kf store: nothing to resync from
             # keep the finite prefix
             for t, m in zip(times, mats):
                 if np.isfinite(m).all():
@@ -680,19 +708,44 @@ class LioSam:
         self._trajectory.times.extend(times)
         self._trajectory.poses.extend(list(mats))
         if founds.any():
-            # history was rewritten by >=1 closed loop: resync the
-            # recorded tail from the optimized keyframes
-            self._resync_trajectory()
+            # history was rewritten by >=1 closed loop: the recorded tail
+            # needs a resync from the optimized keyframes — deferred to the
+            # trajectory consumers (see _resync_needed)
+            self._resync_needed = True
+
+    def _update_map_health(self, health_np):
+        """Fold flushed (occupancy, dropped) rows into map_health and warn
+        ONCE when any capped map structure saturates (occupancy > 0.98) or
+        has dropped cells — overflow thins the map with a spatial bias, so
+        it must never pass silently (VERDICT r4 #6)."""
+        occ, drop = health_np
+        max_occ = float(np.max(occ)) if len(occ) else 0.0
+        dropped = int(np.max(drop)) if len(drop) else 0
+        h = self.map_health
+        h["max_occupancy"] = max(h["max_occupancy"], max_occ)
+        h["dropped_cells"] = max(h["dropped_cells"], dropped)
+        if not self._overflow_warned and (max_occ > 0.98 or dropped > 0):
+            import warnings
+
+            warnings.warn(
+                f"local-map capacity saturated: occupancy {max_occ:.2f}, "
+                f"{dropped} cells dropped — raise map_corner_cap/"
+                "map_surf_cap (overflow drops the highest cell keys, which "
+                "is spatially biased and degrades scan-to-map accuracy)")
+            self._overflow_warned = True
 
     @property
     def trajectory(self) -> Trajectory:
         """Host trajectory (drains any pending device results first)."""
         self._join_dispatch()
         self._flush_pending()
+        if self._resync_needed:
+            self._resync_trajectory()
         return self._trajectory
 
     def _resync_trajectory(self):
         t0 = time.perf_counter()
+        self._resync_needed = False
         self._flush_pending()
         kf = self.state.kf
         # ONE fixed-shape D2H, then pure-numpy math: any dynamic-n device
@@ -727,10 +780,14 @@ class LioSam:
         """Drain pending device results into the host trajectory."""
         self._join_dispatch()
         self._flush_pending()
+        if self._resync_needed:
+            self._resync_trajectory()
 
     def save_map(self, directory: Optional[str] = None, resolution: float = 0.0):
         self._join_dispatch()
         self._flush_pending()
+        if self._resync_needed:
+            self._resync_trajectory()
         """Terminal map export (the ``save_map`` service,
         ``mapOptmization.cpp:355-419``): returns dict of numpy arrays and, if
         `directory` is given, writes trajectory + corner/surf/global PCDs

@@ -66,6 +66,12 @@ class LocalMap(NamedTuple):
     surf_mom: "object"
     anchor: Array       # (3,) fine-grid anchor of the moment tables
     valid: Array        # () bool
+    # overflow telemetry (VERDICT r4 #6): occupied cells dropped from the
+    # (corner, surf) moment tables since the last full re-bake.  Overflow
+    # drops the HIGHEST cell keys — spatially biased — and once silently
+    # diverged a saturated profile; this makes saturation observable
+    # (StepOutput.map_dropped -> pipeline host warning -> bench extras).
+    mom_dropped: Array  # (2,) int32
 
 
 class LioState(NamedTuple):
@@ -118,6 +124,7 @@ def _empty_local_map(p: LioParams) -> LocalMap:
         surf_mom=voxelmap.empty_moments(p.map_surf_cap if use_inc else 8),
         anchor=jnp.zeros(3, jnp.float32),
         valid=jnp.asarray(False),
+        mom_dropped=jnp.zeros(2, jnp.int32),
     )
 
 

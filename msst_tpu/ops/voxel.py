@@ -33,6 +33,7 @@ def voxel_downsample(
     capacity: Optional[int] = None,
     extra_key: Optional[Array] = None,
     uniform_overflow: bool = True,
+    return_stats: bool = False,
 ) -> Cloud:
     """Centroid voxel filter.
 
@@ -148,7 +149,12 @@ def voxel_downsample(
     denom = jnp.maximum(counts, 1.0)[:, None]
     n_voxels = jnp.sum(new_voxel.astype(jnp.int32))
     mask_out = jnp.arange(n_out) < jnp.minimum(n_voxels, n_out)
-    return Cloud(center_v + rsums / denom, mask_out, asums / denom)
+    out = Cloud(center_v + rsums / denom, mask_out, asums / denom)
+    if return_stats:
+        # occupied voxels that did NOT fit the output capacity — surfaced
+        # so capped call sites can report saturation (VERDICT r4 #6)
+        return out, jnp.maximum(n_voxels - n_out, 0)
+    return out
 
 
 def voxel_downsample_packed(

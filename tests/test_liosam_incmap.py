@@ -116,3 +116,47 @@ def test_incremental_loop_closure_rebakes():
     err = _errs(lio, data)
     assert err.max() < 1.0, err.max()
     assert np.isfinite(err).all()
+
+
+def test_overflow_telemetry_and_warning():
+    """Forced map-cap overflow must be OBSERVABLE: StepOutput carries
+    occupancy/dropped telemetry, the pipeline warns host-side, and
+    map_health records the saturation (VERDICT r4 #6 — the tiny profile
+    once diverged silently on exactly this)."""
+    import warnings
+
+    world = sim.World()
+    traj = sim.SimTrajectory(kind="circle", radius=8.0, speed=2.5)
+    data = sim.make_dataset(world, traj, n_scans=24, scan_dt=0.1, n_scan=16,
+                            horizon=360, seed=5)
+    lio = LioSam(tiny_params(loop_closure_enabled=False,
+                             map_corner_cap=128, map_surf_cap=256),
+                 window=4)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        for i in range(0, len(data), 4):
+            lio.process_window([
+                dict(xyz=s["xyz"], ring=s["ring"], time_rel=s["time_rel"],
+                     scan_start=s["scan_start"], imu_t=s["imu_t"],
+                     imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
+                     imu_rpy=s["imu_rpy"]) for s in data[i:i + 4]])
+        lio.flush()
+    h = lio.map_health
+    assert h["max_occupancy"] > 0.9, h
+    assert h["dropped_cells"] > 0, h
+    assert any("saturated" in str(w.message) for w in rec), \
+        [str(w.message) for w in rec]
+
+    # healthy caps: no warning, sane occupancy
+    lio2 = LioSam(tiny_params(loop_closure_enabled=False), window=4)
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        for i in range(0, 12, 4):
+            lio2.process_window([
+                dict(xyz=s["xyz"], ring=s["ring"], time_rel=s["time_rel"],
+                     scan_start=s["scan_start"], imu_t=s["imu_t"],
+                     imu_gyro=s["imu_gyro"], imu_acc=s["imu_acc"],
+                     imu_rpy=s["imu_rpy"]) for s in data[i:i + 4]])
+        lio2.flush()
+    assert not any("saturated" in str(w.message) for w in rec2)
+    assert 0.0 < lio2.map_health["max_occupancy"] <= 1.0
