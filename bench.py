@@ -30,7 +30,8 @@ Protocol (round-4 redesign, VERDICT r3 #1):
 
 Env knobs: MSST_BENCH_WINDOW (default 64), MSST_BENCH_DRIFT_GATE (%/m,
 default 0.5), MSST_BENCH_FINAL_GATE (m, default 0.10),
-MSST_BENCH_LATENCY_WINDOW (default 4, 0 disables the extra compile),
+MSST_BENCH_LATENCY_WINDOW (comma list of live windows, default "1,4";
+empty disables the extra compiles),
 MSST_BENCH_GRAPH_SCALE (default 1, 0 disables), MSST_BENCH_BUDGET_S
 (default 4200: optional phases 3b/5 are skipped — with a note in the JSON —
 once elapsed wall exceeds the budget, so their extra compiles can never
@@ -104,9 +105,11 @@ def _lat_stats(proc_ms, window):
     }
 
 
-def _measure_latency(lio, data, window, n_windows):
+def _measure_latency(lio, data, window, n_windows, drop=1):
     """Synchronous per-window processing latency incl. the pose readback
-    (axon note: block_until_ready can lie; np.asarray forces real data)."""
+    (axon note: block_until_ready can lie; np.asarray forces real data).
+    The first `drop` windows (compile + dynamic-init bootstrap) are
+    discarded."""
     proc = []
     for w in range(n_windows):
         batch = data_window(data, w * window, window)
@@ -116,7 +119,7 @@ def _measure_latency(lio, data, window, n_windows):
         outs = lio.process_window(batch)
         np.asarray(outs.pose6)  # D2H readback = pose actually available
         proc.append(1000.0 * (time.perf_counter() - t0))
-    return proc
+    return proc[drop:]
 
 
 def _make_ring_graph(K, n_extra_loops=8, gps_every=16, seed=0):
@@ -218,7 +221,11 @@ def main():
 
     n_scan, horizon = 16, 1800
     window = int(os.environ.get("MSST_BENCH_WINDOW", "64"))
-    lat_window = int(os.environ.get("MSST_BENCH_LATENCY_WINDOW", "4"))
+    # comma-separated extra live-latency windows, measured in order until
+    # the wall budget runs out; W=1 is the headline live mode, W=4 the
+    # round-4 comparison point
+    lat_windows = [int(x) for x in os.environ.get(
+        "MSST_BENCH_LATENCY_WINDOW", "1,4").split(",") if x.strip()]
     budget_s = float(os.environ.get("MSST_BENCH_BUDGET_S", "4200"))
     bench_start = time.perf_counter()
 
@@ -304,23 +311,37 @@ def main():
     _gate("loop_on", max_err2, final_err2, drift2, failures)
 
     # --- phase 3: latency (reuses phase 1's compiled W-window programs,
-    # plus one small-window compile for the live-mode number)
+    # plus one small-window compile per requested live window).  The
+    # PRIMARY live mode is W=1 (VERDICT r4 #5): per-scan dispatch with a
+    # per-scan pose readback — zero fill wait, so scan-to-pose IS the
+    # processing time, competing with the reference's 0.15 s design
+    # envelope (mappingProcessInterval, config/params.yaml:72-73).
     lat = {}
     lat_data = sim.make_dataset(world, traj, n_scans=6 * window,
                                 scan_dt=SCAN_DT, n_scan=n_scan,
                                 horizon=horizon, seed=9)
     lio_lat = LioSam(params(loop=False), window=window)
-    proc = _measure_latency(lio_lat, lat_data, window, 6)
-    lat[f"w{window}"] = _lat_stats(proc[1:], window)  # drop warm-up window
-    if lat_window > 0 and not over_budget():
-        lat_small = sim.make_dataset(world, traj, n_scans=24 * lat_window,
+    proc = _measure_latency(lio_lat, lat_data, window, 6, drop=1)
+    lat[f"w{window}"] = _lat_stats(proc, window)
+    for lw in lat_windows:
+        if lw <= 0:
+            continue
+        if over_budget():
+            lat[f"w{lw}"] = "skipped: over MSST_BENCH_BUDGET_S"
+            continue
+        n_win = 96 if lw == 1 else 24
+        lat_small = sim.make_dataset(world, traj, n_scans=n_win * lw,
                                      scan_dt=SCAN_DT, n_scan=n_scan,
                                      horizon=horizon, seed=9)
-        lio_s = LioSam(params(loop=False), window=lat_window)
-        proc = _measure_latency(lio_s, lat_small, lat_window, 24)
-        lat[f"w{lat_window}"] = _lat_stats(proc[2:], lat_window)
-    elif lat_window > 0:
-        lat[f"w{lat_window}"] = "skipped: over MSST_BENCH_BUDGET_S"
+        # live mode reads each pose directly from the StepOutput; a huge
+        # readback interval keeps the background trajectory flush out of
+        # the per-scan timing (the flush is a throughput-mode mechanism)
+        lio_s = LioSam(params(loop=False), window=lw,
+                       readback_interval=10**9)
+        # drop compile + the dynamic-init bootstrap refeed windows
+        drop = max(2, (lio_s._boot_n // lw) + 2)
+        proc = _measure_latency(lio_s, lat_small, lw, n_win, drop=drop)
+        lat[f"w{lw}"] = _lat_stats(proc, lw)
 
     # --- phase 4: pose-graph LM ms/iter (BASELINE.md tracked metric) on the
     # REAL graph phase 2 built (priors + odometry chain + any loop factors).
@@ -365,6 +386,10 @@ def main():
             "graph_lm_ms_per_iter": round(graph_ms_per_iter, 3),
             "graph_keyframes": int(lio2.state.kf.count),
             "graph_scale": graph_scale,
+            # capped-structure telemetry (VERDICT r4 #6): max local-map
+            # occupancy fraction + overflow-dropped cells per phase
+            "map_health": {"odometry": lio.map_health,
+                           "loop_on": lio2.map_health},
             "loop_on": {
                 "scans_per_sec": round(loop_scans_per_sec, 2),
                 "vs_baseline": round(

@@ -144,3 +144,51 @@ class ScanStreamChecker:
                                        __file__, 0)
                 self._warned = True
         return out
+
+
+def rings_from_elevation(xyz: np.ndarray, n_max: int = 128,
+                         gap_deg: float = 0.1) -> tuple[np.ndarray, int]:
+    """Geometric ring recovery for clouds WITHOUT a ring channel.
+
+    The reference is fatal here ("Point cloud ring channel not available",
+    ``imageProjection.cpp:249-266``), which locks out plain-PCD workflows —
+    but a spinning lidar's beams are discrete elevation angles, so rings
+    are recoverable by 1-D clustering: sort per-point elevations and split
+    clusters at gaps > ``gap_deg`` (the gap doubles adaptively until at
+    most ``n_max`` clusters remain, so elevation noise cannot explode the
+    ring count).  Ring 0 is the LOWEST beam, matching the vendor decoders'
+    ordering (``rawdata.cc`` vertical-correction tables are sorted by
+    angle).
+
+    Returns (ring (N,) int32, n_rings).  Verified against the reference's
+    shipped real scans (Pandar64 ``manual_calib/data/p64.pcd``,
+    ``auto_calib/data/0001/top.pcd``) in tests/test_real_clouds.py.
+    """
+    xyz = np.asarray(xyz, np.float64)
+    elev = np.degrees(np.arctan2(xyz[:, 2], np.hypot(xyz[:, 0], xyz[:, 1])))
+    order = np.argsort(elev, kind="stable")
+    es = elev[order]
+    gap = float(gap_deg)
+    for _ in range(32):
+        new = np.ones(len(es), bool)
+        new[1:] = np.diff(es) > gap
+        n_rings = int(new.sum())
+        if n_rings <= n_max:
+            break
+        gap *= 2.0
+    cid = np.cumsum(new) - 1
+    ring = np.empty(len(es), np.int32)
+    ring[order] = cid.astype(np.int32)
+    return ring, n_rings
+
+
+def times_from_azimuth(xyz: np.ndarray, period: float = 0.1) -> np.ndarray:
+    """Per-point firing-time estimate for clouds without a time channel:
+    azimuth fraction of one revolution x the scan period (the spinning-
+    lidar firing model, ``rawdata.cc buildTimings`` :148-176 — exact up to
+    the intra-firing 3 us structure).  Returns (N,) float32 seconds from
+    scan start."""
+    xyz = np.asarray(xyz, np.float64)
+    az = np.arctan2(xyz[:, 1], xyz[:, 0])       # [-pi, pi)
+    frac = (az + np.pi) / (2.0 * np.pi)
+    return (frac * period).astype(np.float32)
