@@ -58,11 +58,14 @@ def _submap_caps(p: LioParams) -> tuple[int, int]:
 
 
 def _coarse_caps(p: LioParams) -> tuple[int, int]:
-    """(cur, hist) capacities of the 2x-leaf coarse clouds: 1/4 of the
-    full-density budgets (a 2x leaf cuts occupied cells ~4-8x)."""
+    """(cur, hist) capacities of the coarse-stage clouds: the full-density
+    budgets divided by loop_coarse_factor**? — a loop_coarse_factor x leaf
+    cuts occupied cells ~4-8x per doubling, so capacity shrinks by the
+    squared factor (the brute sweep cost is quadratic in padded sizes)."""
     cc, sc = _submap_caps(p)
-    return max((p.kf_corner_cap + p.kf_surf_cap) // 4, 256), \
-        max((cc + sc) // 4, 1024)
+    div = max(p.loop_coarse_factor, 1) ** 2
+    return max((p.kf_corner_cap + p.kf_surf_cap) // div, 256), \
+        max((cc + sc) // div, 1024)
 
 
 def _kf_class_clouds(state: LioState, idx: Array, p: LioParams
@@ -115,8 +118,9 @@ def _merge(a: Cloud, b: Cloud) -> tuple[Array, Array]:
 
 
 def _coarsen(xyz: Array, mask: Array, p: LioParams, cap: int) -> Cloud:
-    return voxel.voxel_downsample(Cloud.create(xyz, mask=mask),
-                                  2.0 * p.loop_leaf_size, capacity=cap)
+    return voxel.voxel_downsample(
+        Cloud.create(xyz, mask=mask),
+        max(p.loop_coarse_factor, 1) * p.loop_leaf_size, capacity=cap)
 
 
 def _p2p_fitness(src_xyz, src_mask, tgt_xyz, tgt_mask, pose: se3.Pose,
@@ -220,8 +224,14 @@ def loop_closure_step(state: LioState, p: LioParams):
                         eig_threshold=p.degeneracy_threshold)
                     return r.pose
                 # pose6 parameterization: the GN applies R(rpy) x + t like
-                # Pose.from_vec6 — exact round-trip through to_vec6
-                fine6 = gn(gn(pose.to_vec6(), 2.0, 10), 1.0, 15)
+                # Pose.from_vec6 — exact round-trip through to_vec6.
+                # Three leaf rungs: the 4x pass's ~3 m association reach
+                # re-captures salient structure (pillars) when the coarse
+                # p2p stage converged with multi-meter along-corridor bias
+                # (the corridor point mass out-votes sparse pillars in the
+                # p2p cost; measured r5 — without this rung, start-zone
+                # loops under 2.4 m of real drift measured ~zero x offset)
+                fine6 = gn(gn(gn(pose.to_vec6(), 4.0, 8), 2.0, 8), 1.0, 12)
                 fine_pose = se3.Pose.from_vec6(fine6)
                 fine_fit = _p2p_fitness(cur_xyz, cur_mask, hist_xyz,
                                         hist_mask, fine_pose,

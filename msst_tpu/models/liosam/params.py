@@ -150,6 +150,14 @@ class LioParams:
     # floor cells are thin-but-degenerate; their noise-tilted normals torque
     # pitch -> gravity leaks into along-track velocity (the measured 10 m /
     # 140 m corridor x-drag, r4).  See ops/voxelmap.build(plane_min_spread).
+    # r5 semantics: cells failing the spread test are RECLASSIFIED as line
+    # features (point-to-line residuals — the directions an arc truly
+    # observes: height + cross-arc) instead of blanked.  Measured history:
+    # blanking fixed the corridor but starved z in rooms (bench z wandered
+    # 1.5 m); r4's per-cell support-count softening protected rooms but
+    # never fired on moving drives, silently restoring the corridor drag
+    # (dumbbell loop-off 1.48 -> 5.94 m, found by bisecting the committed
+    # r4 code in r5).  See ops/voxelmap.build(plane_min_spread).
     vox_plane_min_spread: float = 0.05
     vox_corner_cap: int = 8192
     vox_surf_cap: int = 16384
@@ -189,6 +197,10 @@ class LioParams:
     #   "off" — coarse pass only.
     loop_fine: str = "plane"
     loop_icp_refine_dist: float = 2.0
+    # leaf multiplier of the coarse wide-basin p2p stage (1 = full density,
+    # the reference's single-resolution ICP; higher = quadratically cheaper
+    # brute sweeps at lower correspondence fidelity)
+    loop_coarse_factor: int = 2
 
     # --- GPS fusion (params.yaml:14-18)
     use_gps_elevation: bool = False

@@ -36,6 +36,15 @@ from . import knn, linalg, se3, segments
 
 Array = jax.Array
 
+# Residual weight of surf cells RECLASSIFIED as arc-lines (see
+# voxelmap.build(plane_min_spread)): the measured trade on the two extreme
+# workloads (r5) — weight 1.0 minimizes blind-corridor drift (0.62 m
+# dumbbell final) but the radial pull toward stale map-ring radii pushes
+# the bench room drive past its 0.10 m gate (0.39 m); 0.35 keeps the bench
+# green (0.077 m) at 2.2 m dumbbell loop-off, which loop closure then
+# recovers.  0.5 measured 0.12 m on the bench (red).
+ARC_LINE_WEIGHT = 0.35
+
 
 # ---------------------------------------------------------------------------
 # Euler-parameterized rotation derivatives (lidar-frame rpy)
@@ -317,22 +326,40 @@ def scan_to_map_voxel(
 
         # corner rows: point-to-line (line_residuals); surf rows: signed
         # point-to-plane (plane_residuals) — same math, computed on the
-        # fused winner stats and selected per class
-        v = hit.direction
+        # fused winner stats and selected per class.  Surf cells the fit
+        # RECLASSIFIED as lines (thin single-ring arcs; their direction
+        # ships scaled by voxelmap.LINE_DIR_SCALE) also take the line
+        # residual: the arc constrains height + cross-arc exactly, and
+        # neither a noisy normal (pitch torque) nor a blank (z starvation)
+        # — see voxelmap.build(plane_min_spread).
+        from .voxelmap import LINE_DIR_GATE
+
+        dnorm = jnp.linalg.norm(hit.direction, axis=1)
+        hit_is_line = dnorm < LINE_DIR_GATE
+        v = hit.direction / jnp.maximum(dnorm, 1e-9)[:, None]
+        use_line = is_c | hit_is_line
         delta = w - hit.mean
         along = jnp.sum(delta * v, axis=1, keepdims=True)
         perp = delta - along * v
         rl = jnp.linalg.norm(perp, axis=1)
         gradl = perp / jnp.maximum(rl, 1e-9)[:, None]
         rp = jnp.sum(w * v, axis=1) + hit.d
-        r = jnp.where(is_c, rl, rp)
-        n = jnp.where(is_c[:, None], gradl, v)
+        r = jnp.where(use_line, rl, rp)
+        n = jnp.where(use_line[:, None], gradl, v)
 
         s = jnp.where(
             is_c, 1.0 - 0.9 * jnp.abs(r),
             1.0 - 0.9 * jnp.abs(r)
             / jnp.sqrt(jnp.sqrt(jnp.maximum(rng_q, 1e-6))))
         m = pmask & hit.found & (s > 0.1)
+        # reclassified arc cells carry real but weaker information: their
+        # cross-arc component pulls toward the MAP's ring radius, which
+        # lags the scan's ring geometry as the robot moves (a radial bias
+        # planes do not have — plane residuals act along the near-vertical
+        # normal only).  Down-weighting (after the selection gate) keeps
+        # the z support that blanking starved while bounding the radial
+        # pull (measured r5 on the bench room drive).
+        s = jnp.where(hit_is_line & ~is_c, ARC_LINE_WEIGHT * s, s)
         nw = n * s[:, None]
         d = s * r
 

@@ -32,6 +32,13 @@ Array = jax.Array
 _P1, _P2, _P3 = 73856093, 19349663, 83492791
 _BIG = jnp.int32(2**30)
 
+# Thin surf cells reclassified as LINE features ship their direction scaled
+# by this (plane normals / line-kind directions are unit vectors), so the
+# lookup consumer can select the point-to-line residual per HIT without
+# widening the embedded probe rows.  Detect via |direction| < LINE_DIR_GATE.
+LINE_DIR_SCALE = 0.5
+LINE_DIR_GATE = 0.75
+
 
 PROBE_C = 3  # candidate slots materialized per hash bucket (load factor is
 #              <= 0.5 by construction: table_size >= 2*capacity, so P(bucket
@@ -140,7 +147,7 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
           kind: str, table_size: int = 8192, min_points: int = 3,
           line_ratio: float = 3.0, plane_thickness: float = 0.1,
           plane_min_spread: float = 0.0,
-          plane_spread_min_count: float = 16.0,
+          plane_spread_min_count: "float | Array" = 0.0,
           weights: Array | None = None,
           origin: Array | None = None,
           presorted: bool = False) -> VoxelFeatureMap:
@@ -158,14 +165,20 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
     along-track velocity, and drag x by ~10 m over a 140 m corridor
     (measured r4; the kNN path escapes because multi-scan 5-NN
     neighborhoods usually span rings).  0.0 = no gate (legacy behavior).
-    The gate only fires once a cell has plane_spread_min_count TRUE points
-    of support (`weights`: per-row point counts when rows are fine-cell
-    centroids — the incremental moment path): young cells during session
-    bootstrap have too few points for 2-D support to have ACCUMULATED yet,
-    and blanking them starves the boot maps (measured r4: +0.9 m session
-    gauge error on the bench loop drive, err jump inside the first 40
-    scans).  A persistent arc keeps gaining count while staying thin, so
-    it is rejected as soon as it has real evidence.
+    r5 semantics: a cell failing the spread test is RECLASSIFIED as a line
+    feature (direction = largest eigvec scaled by LINE_DIR_SCALE, d = 0)
+    rather than blanked.  The r4 history: blanking fixed the corridor
+    pitch torque but starved z in rooms where floor arcs are the only
+    vertical support (bench z wandered 1.5 m); the r4 "support-aware"
+    per-cell count gate protected rooms but effectively never fired on
+    moving drives and silently un-fixed the corridor (dumbbell loop-off
+    1.48 -> 5.94 m, reproduced bisecting the committed r4 code — its own
+    report predates that commit).  A thin arc's point-to-line residual
+    constrains exactly the directions it truly observes, serving both
+    workloads.  plane_spread_min_count (may be traced; `weights` supplies
+    per-row true point counts when rows are fine-cell centroids) keeps
+    cells with fewer true points as PLANES — an escape hatch, default 0
+    (always reclassify).
     origin: when given, the voxel grid is anchored at `origin` and grouping
     uses one packed int32 sort key over a +-512-cell domain around it (4x
     cheaper than the lexsort; points outside the domain are dropped — local
@@ -258,16 +271,42 @@ def build(xyz: Array, mask: Array, leaf: float, capacity: int,
     n_vox = jnp.sum(new_voxel.astype(jnp.int32))
     occupied = jnp.arange(capacity) < jnp.minimum(n_vox, capacity)
 
+    def _unit(v):
+        # the analytic 3x3 eigensolver's vectors degrade from unit norm on
+        # near-degenerate spectra; the LINE_DIR_SCALE encoding (and the
+        # plane residual's metric scale) need exact unit directions
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True),
+                               1e-12)
+
     if kind == "plane":
-        direction = vecs[:, 0, :]          # smallest eigvec = normal
+        direction = _unit(vecs[:, 0, :])   # smallest eigvec = normal
         d = -jnp.sum(direction * mu, axis=1)
         quality_ok = jnp.sqrt(jnp.maximum(vals[:, 0], 0.0)) <= plane_thickness
         if plane_min_spread > 0.0:
             spread_ok = (jnp.sqrt(jnp.maximum(vals[:, 1], 0.0))
                          >= plane_min_spread)
-            quality_ok &= spread_ok | (cnt_pts < plane_spread_min_count)
+            # Thin-but-valid cells are RECLASSIFIED as line features
+            # instead of blanked or kept as planes (r5; both alternatives
+            # measured fatal on one workload each): a single-ring arc
+            # crossing a far floor cell has genuine 1-D support — its
+            # point-to-LINE residual constrains the two real directions
+            # (height + cross-arc) — while its plane NORMAL is
+            # unconstrained around the arc axis (noise-tilted normals
+            # torque pitch -> the 11 m corridor x-drag) and BLANKING it
+            # starves z where floor arcs are the only vertical support
+            # (the bench room drive wandered z by 1.5 m).  The line
+            # direction ships scaled by LINE_DIR_SCALE so the lookup
+            # consumer can tell the two residual types apart without
+            # widening the embedded probe rows (both classes are
+            # otherwise unit vectors); d = 0 like the "line" kind.
+            to_line = quality_ok & ~spread_ok & (
+                cnt_pts >= plane_spread_min_count)
+            direction = jnp.where(
+                to_line[:, None],
+                _unit(vecs[:, 2, :]) * LINE_DIR_SCALE, direction)
+            d = jnp.where(to_line, 0.0, d)
     else:
-        direction = vecs[:, 2, :]          # largest eigvec = line direction
+        direction = _unit(vecs[:, 2, :])   # largest eigvec = line direction
         d = jnp.zeros(capacity, xyz.dtype)
         quality_ok = vals[:, 2] > line_ratio * jnp.maximum(vals[:, 1], 1e-12)
 

@@ -321,12 +321,16 @@ def test_icp_brute_matches_grid_path():
     assert bool(res.converged)
 
 
-def test_plane_min_spread_rejects_ring_arcs():
+def test_plane_min_spread_reclassifies_ring_arcs_as_lines():
     """A single grazing-incidence ring arc crossing a cell is THIN (passes
-    the thickness gate) but has no 2-D in-plane support; its fitted normal
+    the thickness gate) but has no 2-D in-plane support; its fitted NORMAL
     tilts with noise and, at production shapes, torques pitch every scan
-    (measured r4: 10 m of along-corridor drag per 140 m).  The
-    plane_min_spread gate must kill arc cells and keep true planar cells."""
+    (measured r4: 10 m of along-corridor drag per 140 m).  With
+    plane_min_spread the arc cell is RECLASSIFIED as a line feature
+    (direction = arc tangent, scaled by LINE_DIR_SCALE so the lookup
+    selects point-to-line residuals; r5 — blanking it instead starved z
+    where floor arcs are the only vertical support) while true planar
+    cells keep unit normals."""
     from msst_tpu.ops import voxelmap
 
     rng = np.random.default_rng(3)
@@ -343,18 +347,34 @@ def test_plane_min_spread_rejects_ring_arcs():
     xyz = jnp.asarray(np.concatenate([arc, plane]))
     mask = jnp.ones(len(xyz), bool)
 
-    def valid(spread):
+    def fit(spread):
         v = voxelmap.build(xyz, mask, 0.8, 64, "plane", table_size=128,
                            plane_min_spread=spread,
                            origin=jnp.zeros(3, jnp.float32))
         m = np.asarray(v.valid & v.mask)
-        return m.sum(), np.asarray(v.mean)[m]
+        return (m.sum(), np.asarray(v.mean)[m], np.asarray(v.direction)[m],
+                np.asarray(v.d)[m])
 
-    n0, _ = valid(0.0)
-    n1, means = valid(0.05)
-    assert n0 == 2, n0                # both fit without the gate
-    assert n1 == 1, n1                # the arc cell dies...
-    assert means[0, 0] > 2.0          # ...and the disc survives
+    n0, _, dir0, _ = fit(0.0)
+    assert n0 == 2, n0                     # both fit without the gate
+    np.testing.assert_allclose(np.linalg.norm(dir0, axis=1), 1.0, atol=1e-4)
+
+    n1, means, dirs, ds = fit(0.05)
+    assert n1 == 2, n1                     # both cells stay VALID
+    norms = np.linalg.norm(dirs, axis=1)
+    is_line = norms < voxelmap.LINE_DIR_GATE
+    assert is_line.sum() == 1              # the arc cell became a line...
+    arc_i, plane_i = int(np.argmax(is_line)), int(np.argmin(is_line))
+    assert means[arc_i, 0] < 1.0 and means[plane_i, 0] > 2.0
+    # ...whose direction is the arc tangent (x) at LINE_DIR_SCALE norm
+    np.testing.assert_allclose(norms[arc_i], voxelmap.LINE_DIR_SCALE,
+                               atol=1e-4)
+    tangent = np.abs(dirs[arc_i] / norms[arc_i])
+    assert tangent[0] > 0.99, dirs[arc_i]
+    assert ds[arc_i] == 0.0
+    # the disc keeps a unit plane normal (z)
+    np.testing.assert_allclose(norms[plane_i], 1.0, atol=1e-4)
+    assert np.abs(dirs[plane_i][2]) > 0.99
 
 
 def test_icp_curvature_flags_corridor_axis():
