@@ -10,6 +10,7 @@
     msst decode-pcap IN.pcap OUT.pcd                     packet decode
     msst heading PCD [PCD ...]                           attitude + wall distances
     msst track PCD [PCD ...] [--serve-modbus PORT]       reflective-target tracking
+    msst viz-serve [DIR] [--port P]                      interactive map viewer
 """
 
 from __future__ import annotations
@@ -35,14 +36,33 @@ def _lio_run(scans_iter, params=None, loop=False, gps=False, progress=True,
     lio = LioSam(params or LioParams(loop_closure_enabled=loop))
     n = 0
     degen_flags = []  # per-scan degeneracy (device scalars, fetched at end)
+    # GPS -> odom frame datum (the navsat_transform role,
+    # module_navsat.launch:8-19): the fix stream's local frame is anchored at
+    # its own (noisy) first fix, so fusing it raw biases every factor by that
+    # fix's error.  Wait-for-datum: collect (estimate - fix) over the first
+    # GPS scans — while the estimator still tracks confidently — then freeze
+    # the mean as the translation datum.  Translation-only: like the
+    # reference (useImuHeadingInitialization), the odometry frame's yaw comes
+    # from the absolute IMU attitude, so the frames are co-oriented and a
+    # track-fit yaw (which a drifting track would corrupt) is not needed.
+    GPS_DATUM_SCANS = 30
+    datum_pairs: list = []
+    gps_datum = None
     for s in scans_iter:
         kwargs = {k: s[k] for k in ("imu_t", "imu_gyro", "imu_acc", "imu_rpy")
                   if k in s and s[k] is not None}
-        if gps and "gps_xyz" in s:
-            kwargs["gps_xyz"] = s["gps_xyz"]
+        fix = s.get("gps_xyz") if gps else None
+        if fix is not None and gps_datum is not None:
+            kwargs["gps_xyz"] = (fix + gps_datum).astype(np.float32)
             kwargs["gps_sigma"] = s.get("gps_sigma", np.full(3, 2.0, np.float32))
         out = lio.process_scan(s["xyz"], s["ring"], s["time_rel"],
                                s["scan_start"], **kwargs)
+        if fix is not None and gps_datum is None:
+            datum_pairs.append(np.asarray(out.pose6)[3:6] - fix)
+            if len(datum_pairs) >= GPS_DATUM_SCANS:
+                gps_datum = np.mean(datum_pairs, axis=0)
+                print(f"gps datum locked after {len(datum_pairs)} fixes: "
+                      f"{np.round(gps_datum, 3)}", file=sys.stderr)
         degen_flags.append(out.degenerate)
         n += 1
         if progress and n % 10 == 0:
@@ -82,7 +102,7 @@ def _stream_viz(lio, directory, n):
     trajectory.png (atomic-ish: write then rename)."""
     import os
 
-    from msst_tpu.utils import viz
+    from msst_tpu.utils import viz, viz_html
 
     os.makedirs(directory, exist_ok=True)
     m = lio.save_map()
@@ -95,6 +115,10 @@ def _stream_viz(lio, directory, n):
     if len(est):
         viz.plot_trajectory(os.path.join(directory, "trajectory.png"),
                             est[:, :3, 3])
+        viz_html.write_trajectory_json(
+            os.path.join(directory, "trajectory.json"), est[:, :3, 3])
+    if not os.path.exists(os.path.join(directory, "viewer.html")):
+        viz_html.write_viewer(directory)  # `msst viz-serve DIR` to watch live
     print(f"viz: scan {n} -> {directory}/global_map.ply "
           f"({len(pts)} pts)", file=sys.stderr)
 
@@ -115,7 +139,7 @@ def cmd_lio_kitti(args):
     from msst_tpu.utils.io_kitti import KittiRawDrive
 
     drive = KittiRawDrive(args.dir, n_rings=args.rings)
-    it = drive.iter_scans()
+    it = drive.iter_scans(with_gps=args.gps)
     if args.scans:
         import itertools
         it = itertools.islice(it, args.scans)
@@ -127,7 +151,7 @@ def cmd_lio_kitti(args):
         p = LioParams(n_scan=args.rings, horizon_scan=args.horizon,
                       max_points=args.max_points or 150000,
                       loop_closure_enabled=args.loop)
-    lio = _lio_run(it, params=p, loop=args.loop,
+    lio = _lio_run(it, params=p, loop=args.loop, gps=args.gps,
                    viz_every=args.viz_every, viz_dir=args.viz_dir)
     traj = lio.trajectory.as_matrices()
     np.savetxt(args.output, traj[:, :3, :].reshape(len(traj), 12), fmt="%.6f")
@@ -160,6 +184,15 @@ def cmd_lio_kitti(args):
     if getattr(args, "stats_json", None):
         with open(args.stats_json, "w") as f:
             json.dump(lio.last_run_stats, f)
+
+
+def cmd_viz_serve(args):
+    """Interactive map viewer (the reference's RViz surface,
+    ``mapOptmization.cpp:421-490,723-774``): serves viewer.html + the
+    streamed global_map.ply / trajectory.json, polling for overwrites."""
+    from msst_tpu.utils import viz_html
+
+    viz_html.serve(args.dir, port=args.port)
 
 
 def _lio_sensor(sensor: str) -> str:
@@ -403,6 +436,9 @@ def main(argv=None):
     s.add_argument("--horizon", type=int, default=1800)
     s.add_argument("--scans", type=int, default=0)
     s.add_argument("--loop", action="store_true")
+    s.add_argument("--gps", action="store_true",
+                   help="fuse the OXTS GNSS fix as GPS factors (the"
+                   " reference's gpsTopic path, mapOptmization.cpp:1397-1475)")
     s.add_argument("--tiny", action="store_true",
                    help="small-capacity params (CPU-friendly)")
     s.add_argument("--output", default="trajectory_kitti.txt")
@@ -433,6 +469,12 @@ def main(argv=None):
                    help="write global_map.ply + trajectory.png every N scans")
     s.add_argument("--viz-dir", default="viz_live")
     s.set_defaults(fn=cmd_lio_bag)
+
+    s = sub.add_parser("viz-serve", help="interactive WebGL viewer over a "
+                       "viz directory (live-reloads the --viz-every stream)")
+    s.add_argument("dir", nargs="?", default="viz_live")
+    s.add_argument("--port", type=int, default=8642)
+    s.set_defaults(fn=cmd_viz_serve)
 
     s = sub.add_parser("calibrate")
     s.add_argument("target")

@@ -841,7 +841,8 @@ def _evict_oldest_keyframe(state: LioState, p: LioParams) -> LioState:
 
 def _insert_keyframe(state: LioState, pose6: Array, scan_time: Array,
                      corner: Cloud, surf: Cloud, inp: "PreparedScan",
-                     p: LioParams) -> LioState:
+                     p: LioParams,
+                     degenerate: Array | bool = False) -> LioState:
     K = state.kf.pose6.shape[0]
     # at capacity: evict the oldest keyframe with marginalization instead of
     # freezing the map (the round-1 saturation behavior)
@@ -911,11 +912,17 @@ def _insert_keyframe(state: LioState, pose6: Array, scan_time: Array,
     def add_gps(args):
         graph, n_gps = args
         gslot = jnp.minimum(n_gps, graph.gps.idx.shape[0] - 1)
+        # useGpsElevation=false (:1436-1441): GNSS altitude is usually worse
+        # than the lidar's — pin z to the current estimate with tight noise
+        gxyz, gsig = inp.gps_xyz, inp.gps_sigma
+        if not p.use_gps_elevation:
+            gxyz = gxyz.at[2].set(pose.t[2])
+            gsig = gsig.at[2].set(0.01)
         f = graph.gps
         f = f._replace(
             idx=f.idx.at[gslot].set(slot),
-            xyz=f.xyz.at[gslot].set(inp.gps_xyz),
-            sqrt_info=f.sqrt_info.at[gslot].set(1.0 / jnp.maximum(inp.gps_sigma, 1e-3)),
+            xyz=f.xyz.at[gslot].set(gxyz),
+            sqrt_info=f.sqrt_info.at[gslot].set(1.0 / jnp.maximum(gsig, 1e-3)),
             mask=f.mask.at[gslot].set(True),
         )
         return graph._replace(gps=f), n_gps + 1
@@ -924,9 +931,16 @@ def _insert_keyframe(state: LioState, pose6: Array, scan_time: Array,
     # and only when the estimator is uncertain enough (poseCovThreshold; the
     # reference reads iSAM marginals — here the ESKF position covariance.
     # Default 0.0 = always fuse, since the scales differ; see params).
+    # A DEGENERATE scan match also opens the gate: the reference's iSAM
+    # marginals grow along the unconstrained axis and trip poseCovThreshold
+    # there, but the ESKF's isotropic pose update keeps its covariance small
+    # even when the eigenvalue projection fired (measured: the 160 m
+    # corridor never fused a single fix) — the degeneracy flag is the
+    # direct equivalent signal.
     gps_quality_ok = jnp.max(inp.gps_sigma**2) < p.gps_cov_threshold
     pos_cov = jnp.trace(state.filter.cov[6:9, 6:9])
-    pose_uncertain = pos_cov >= p.pose_cov_threshold
+    pose_uncertain = (pos_cov >= p.pose_cov_threshold) \
+        | jnp.asarray(degenerate)
     graph, n_gps = jax.lax.cond(
         inp.gps_valid & gps_quality_ok & pose_uncertain,
         add_gps, lambda a: a, (graph, state.n_gps)
@@ -1221,7 +1235,8 @@ def odometry_core(state: LioState, ps: PreparedScan, p: LioParams):
     state2 = jax.lax.cond(
         is_kf,
         lambda s: _insert_keyframe(s, pose6, ps.scan_start,
-                                   corner_ds, surf_ds, ps, p),
+                                   corner_ds, surf_ds, ps, p,
+                                   degenerate=degenerate),
         lambda s: s._replace(pose6=pose6),
         state,
     )

@@ -160,13 +160,26 @@ class KittiRawDrive:
                     time_rel=time_rel, intensity=pts[:, 3],
                     scan_start=float(self.velo_times[i]))
 
-    def iter_scans(self, with_imu=True, imu_window=0.5):
+    def iter_scans(self, with_imu=True, imu_window=0.5, with_gps=False,
+                   gps_max_age=0.2):
+        """Yield per-scan dicts; ``with_gps`` additionally attaches the OXTS
+        GNSS fix nearest each scan as ``gps_xyz`` (ENU, first fix = origin)
+        + ``gps_sigma`` (per-axis m, from ``pos_accuracy``) — the reference's
+        ``gpsHandler``/``addGPSFactor`` input (``mapOptmization.cpp:96-120,
+        1397-1475``; kitti2bag publishes the same fix as /gps/fix).  A fix
+        older than ``gps_max_age`` s is dropped (no ``gps_xyz`` key)."""
         t_imu, gyro, acc, rpy = self.imu_samples() if with_imu else (None,) * 4
         if with_imu and t_imu is not None \
                 and not self.imu_extrinsics.is_identity():
             from .imu_adapter import convert_imu
             gyro, acc, rpy = convert_imu(self.imu_extrinsics, gyro, acc,
                                          rpy=rpy)
+        enu = pos_acc = None
+        if with_gps and self.oxts is not None:
+            enu = self.gps_enu()
+            ia = OXTS_FIELDS.index("pos_accuracy")
+            pos_acc = (self.oxts[:, ia] if self.oxts.shape[1] > ia
+                       else np.full(len(enu), 2.0))
         for i in range(len(self)):
             s = self.scan(i)
             if with_imu and t_imu is not None:
@@ -181,4 +194,17 @@ class KittiRawDrive:
                     imu_acc=acc[sel].astype(np.float32),
                     imu_rpy=rpy[min(k0, len(rpy) - 1)].astype(np.float32),
                 )
+            if enu is not None:
+                t0 = s["scan_start"]
+                k = int(np.clip(np.searchsorted(self.oxts_times, t0),
+                                0, len(enu) - 1))
+                if k > 0 and (t0 - self.oxts_times[k - 1]
+                              < self.oxts_times[k] - t0):
+                    k -= 1
+                if abs(self.oxts_times[k] - t0) <= gps_max_age:
+                    s.update(
+                        gps_xyz=enu[k].astype(np.float32),
+                        gps_sigma=np.full(3, max(float(pos_acc[k]), 1e-2),
+                                          np.float32),
+                    )
             yield s

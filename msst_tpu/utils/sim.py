@@ -169,10 +169,22 @@ class SimTrajectory:
     period: float = 6.0    # shuttle: out-and-back duration [s]
     x0: float = -20.0      # line/shuttle: start x
     y0: float = -10.0      # line/shuttle: fixed y
+    ramp: float = 0.0      # line: seconds to accelerate from REST to speed.
+    # 0 keeps the legacy instant-velocity drive — note that one is physically
+    # information-free for an IMU (constant velocity from t=0 means the
+    # accelerometer never sees the motion), so degenerate-geometry drives
+    # that rely on inertial dead reckoning should set a ramp.
+
+    def _line_arc(self, t: float) -> float:
+        if self.ramp <= 0:
+            return self.speed * t
+        if t < self.ramp:  # constant acceleration speed/ramp from rest
+            return self.speed * t * t / (2.0 * self.ramp)
+        return self.speed * (t - self.ramp / 2.0)
 
     def pose(self, t: float) -> np.ndarray:
         if self.kind == "line":
-            p = np.array([self.speed * t + self.x0, self.y0, self.z])
+            p = np.array([self._line_arc(t) + self.x0, self.y0, self.z])
             yaw = 0.0
         elif self.kind == "shuttle":
             # smooth out-and-back along x (returns to start at t=period)

@@ -712,3 +712,53 @@ def test_status_vertical_angle_override():
     import pytest
     with pytest.raises(ValueError, match="vertical angles"):
         cfg.with_status_vertical_angles(new_angles[:8])
+
+
+def test_kitti_iter_scans_attaches_gps(tmp_path):
+    """with_gps=True attaches the nearest OXTS fix as an ENU gps_xyz +
+    pos_accuracy-derived gps_sigma (the reference's gpsHandler input,
+    mapOptmization.cpp:96-120); stale fixes (> gps_max_age) are dropped."""
+    import datetime
+
+    from msst_tpu.utils.io_kitti import KittiRawDrive, latlon_to_enu
+
+    d = tmp_path / "2011_09_26" / "drive_sync"
+    (d / "velodyne_points" / "data").mkdir(parents=True)
+    (d / "oxts" / "data").mkdir(parents=True)
+
+    def fmt_ts(t):
+        base = datetime.datetime(2011, 9, 26, 12, 0, 0)
+        dt = base + datetime.timedelta(seconds=t)
+        return f"{dt.strftime('%Y-%m-%d %H:%M:%S')}.{dt.microsecond:06d}000"
+
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        pts = rng.normal(size=(64, 4)).astype(np.float32)
+        pts.tofile(d / "velodyne_points" / "data" / f"{i:010d}.bin")
+    (d / "velodyne_points" / "timestamps.txt").write_text(
+        "\n".join(fmt_ts(0.1 * i) for i in range(3)) + "\n")
+
+    # fixes at scans 0 and 1 (x displacement 5 m east); scan 2 has no fix
+    # within the age gate
+    lat0, lon0 = 48.0, 11.0
+    re = 6378137.0
+    lons = [lon0, lon0 + 5.0 / (re * np.cos(np.radians(lat0))) * 180 / np.pi]
+    for k, lon in enumerate(lons):
+        row = [lat0, lon, 500.0, 0, 0, 0] + [0.0] * 17 + [1.5, 0.02, 4, 11, 0, 0]
+        np.savetxt(d / "oxts" / "data" / f"{k:010d}.txt",
+                   np.asarray(row)[None], fmt="%.9f")
+    (d / "oxts" / "timestamps.txt").write_text(
+        fmt_ts(0.0) + "\n" + fmt_ts(0.1) + "\n")
+
+    drive = KittiRawDrive(str(d), n_rings=16)
+    scans = list(drive.iter_scans(with_gps=True))
+    assert "gps_xyz" in scans[0] and "gps_xyz" in scans[1]
+    np.testing.assert_allclose(scans[0]["gps_xyz"], [0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(scans[1]["gps_xyz"], [5, 0, 0], atol=1e-3)
+    np.testing.assert_allclose(scans[1]["gps_sigma"], 1.5)
+    # scan 2 (t=0.2): nearest fix is 0.1 s old — inside the default 0.2 s
+    # age gate, dropped under a tighter one
+    assert "gps_xyz" in scans[2]
+    scans_tight = list(drive.iter_scans(with_gps=True, gps_max_age=0.05))
+    assert "gps_xyz" in scans_tight[1]
+    assert "gps_xyz" not in scans_tight[2]

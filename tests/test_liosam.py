@@ -688,3 +688,34 @@ def test_process_scan_accepts_grid_keys(dataset):
             imu_rpy=s["imu_rpy"], ranges=s["ranges"], azimuth=s["azimuth"],
             col_time=s["col_time"], elev=s["elev"])
     assert np.isfinite(np.asarray(out.pose6)).all()
+
+
+def test_gps_elevation_pinned_to_estimate(dataset):
+    """useGpsElevation=false (the default; addGPSFactor
+    mapOptmization.cpp:1436-1441): GNSS altitude is typically worse than the
+    lidar's, so the factor's z is pinned to the current estimate with tight
+    noise — a +5 m-biased GPS altitude must NOT drag the trajectory up.
+    With use_gps_elevation=True the same feed follows the biased z."""
+    gt0 = dataset[0]["gt_pose"][:3, 3]
+
+    def run(**over):
+        p = tiny_params(loop_closure_enabled=False, pose_cov_threshold=0.0,
+                        **over)
+        lio = LioSam(p)
+        for s in dataset[:15]:
+            gxyz = (s["gt_pose"][:3, 3] - gt0).astype(np.float32)
+            gxyz[2] += 5.0  # biased altitude
+            lio.process_scan(
+                s["xyz"], s["ring"], s["time_rel"], s["scan_start"],
+                imu_t=s["imu_t"], imu_gyro=s["imu_gyro"],
+                imu_acc=s["imu_acc"], imu_rpy=s["imu_rpy"],
+                gps_xyz=gxyz, gps_sigma=np.full(3, 0.5, np.float32))
+        assert int(lio.state.n_gps) >= 2
+        return lio.trajectory.as_matrices()[:, 2, 3]
+
+    z_pinned = run()
+    assert np.abs(z_pinned).max() < 0.5, z_pinned
+    # elevation mode demonstrably follows the bias (the pull is partial —
+    # the odometry chain + prior resist; measured ~0.57 m after 15 scans)
+    z_follow = run(use_gps_elevation=True)
+    assert z_follow[-1] > np.abs(z_pinned[-1]) + 0.2, (z_pinned, z_follow)
