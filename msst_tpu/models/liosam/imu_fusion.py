@@ -121,5 +121,30 @@ def update_with_pose(fs: FilterState, meas: se3.Pose,
     return FilterState(nav, bias, cov)
 
 
+def update_with_position(fs: FilterState, pos: Array,
+                         sigma: Array) -> FilterState:
+    """3-dof absolute-position measurement update (the GPS leg of the
+    reference's navsat EKF, ``module_navsat.launch:8-19`` — fusing the fix
+    at the FILTER keeps velocity observable along axes scan matching cannot
+    constrain; graph-only GPS factors yank position at keyframes and alias
+    the jolt into velocity, measured as a +-15 m corridor oscillation)."""
+    r = pos - fs.nav.p                                      # (3,)
+    H = jnp.zeros((3, 15)).at[:, 6:9].set(jnp.eye(3))
+    Rm = jnp.diag(jnp.asarray(sigma) ** 2)
+    S = H @ fs.cov @ H.T + Rm
+    K = fs.cov @ H.T @ jnp.linalg.inv(S)                    # (15, 3)
+    dx = K @ r
+    cov = (jnp.eye(15) - K @ H) @ fs.cov
+    cov = 0.5 * (cov + cov.T)
+    dq = se3.so3_exp_quat(dx[:3])
+    nav = imu_ops.NavState(
+        q=se3.quat_normalize(se3.quat_mul(dq, fs.nav.q)),
+        p=fs.nav.p + dx[6:9],
+        v=fs.nav.v + dx[3:6],
+    )
+    bias = imu_ops.ImuBias(fs.bias.gyr + dx[9:12], fs.bias.acc + dx[12:15])
+    return FilterState(nav, bias, cov)
+
+
 def reset_needed(fs: FilterState) -> Array:
     return imu_ops.failure_detected(fs.nav, fs.bias)

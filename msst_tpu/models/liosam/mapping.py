@@ -887,15 +887,25 @@ def _insert_keyframe(state: LioState, pose6: Array, scan_time: Array,
         )
         return graph._replace(priors=f)
 
-    # odometry between factor prev -> slot — :1388-1394
+    # odometry between factor prev -> slot — :1388-1394.  A DEGENERATE scan
+    # match gets a soft translation factor: its translation is IMU
+    # prediction along the unconstrained axis, and booking it at the stiff
+    # odometry sigma out-muscles any absolute fix by ~1e4 info per link
+    # (measured: a full-graph solve with 1 m-sigma GPS on every keyframe
+    # left 63% of a corridor runaway in place at stiff sigma; x50 softening
+    # leaves <2% — see docs/DESIGN.md r5 GNSS notes).  Rotation stays
+    # stiff: the eigenvalue projection fires on translation axes while
+    # walls/floor keep rotation observable.
     def add_between(graph):
         prev = slot - 1
         prev_pose = se3.Pose.from_vec6(kf.pose6[prev])
         meas = prev_pose.between(pose)
         b = graph.betweens
         bslot = prev  # chain factor i occupies slot i (0..K-2)
+        tsig = p.odom_sigma_trans * jnp.where(
+            jnp.asarray(degenerate), p.degen_between_scale, 1.0)
         si = jnp.concatenate([jnp.full(3, 1.0 / p.odom_sigma_rot),
-                              jnp.full(3, 1.0 / p.odom_sigma_trans)])
+                              jnp.full(3, 1.0) / tsig])
         b = b._replace(
             i=b.i.at[bslot].set(prev),
             j=b.j.at[bslot].set(slot),
@@ -955,9 +965,18 @@ def _insert_keyframe(state: LioState, pose6: Array, scan_time: Array,
     # graph_lazy_solve skips it until a factor that can move the solution
     # exists (GPS or loop); the reference updates iSAM2 every keyframe
     # unconditionally (saveKeyFramesAndFactor :1497-1581).
-    free = graph.pose_mask & (jnp.arange(K) >= kf.count - p.graph_window)
+    # GPS present -> free the FULL graph: a unary fix (sqrt_info ~1/sigma)
+    # cannot move a stiff odometry chain whose boundary poses are FIXED
+    # outside a window — the chain translates rigidly only when every pose
+    # is free (the reference's iSAM updates all poses,
+    # saveKeyFramesAndFactor :1497-1581; measured: windowed solves left a
+    # corridor GPS run bit-near the GPS-less trajectory while the velocity
+    # error ran away).  Loop corrections go through the separate full solve.
+    has_gps = jnp.sum(graph.gps.mask) > 0
+    free = graph.pose_mask & ((jnp.arange(K) >= kf.count - p.graph_window)
+                              | has_gps)
     if p.graph_lazy_solve:
-        need_solve = (jnp.sum(graph.gps.mask) > 0) | (state.n_loop > 0)
+        need_solve = has_gps | (state.n_loop > 0)
         graph = jax.lax.cond(
             need_solve,
             lambda g: _graph_optimize(g, p, free_mask=free, iters=2),
@@ -1265,6 +1284,25 @@ def odometry_core(state: LioState, ps: PreparedScan, p: LioParams):
         state.initialized,
         lambda: jax.lax.cond(registered, update_filter, lambda: fs_prop),
         init_filter)
+
+    # GPS position update at the FILTER (the navsat-EKF leg of the
+    # reference, module_navsat.launch:8-19): keeps velocity observable
+    # along scan-matching-degenerate axes — graph factors alone yank
+    # keyframe positions and alias the jolt into velocity (measured
+    # +-15 m corridor oscillation; docs/DESIGN.md r5).  Same gate as the
+    # graph factor; z follows use_gps_elevation (pinned = no z pull).
+    def gps_filter_update():
+        sig = inp.gps_sigma
+        if not p.use_gps_elevation:
+            sig = sig.at[2].set(1e3)
+        return imu_fusion.update_with_position(fs_new, inp.gps_xyz, sig)
+
+    gps_ok = (inp.gps_valid
+              & (jnp.max(inp.gps_sigma**2) < p.gps_cov_threshold)
+              & ((jnp.trace(fs_new.cov[6:9, 6:9]) >= p.pose_cov_threshold)
+                 | degenerate))
+    fs_new = jax.lax.cond(gps_ok & state.initialized,
+                          gps_filter_update, lambda: fs_new)
 
     new_state = state2._replace(
         filter=fs_new,

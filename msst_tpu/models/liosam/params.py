@@ -251,6 +251,14 @@ class LioParams:
     prior_sigma_trans: float = 1e-1
     odom_sigma_rot: float = 1e-3
     odom_sigma_trans: float = 1e-2
+    # translation-sigma multiplier for between factors born from a DEGENERATE
+    # scan match (their translation is partly IMU fiction along the
+    # unconstrained axis; at the stiff sigma they out-vote absolute GPS
+    # fixes ~1e4:1 per link and the graph cannot absorb corrections — the
+    # reference's iSAM covariance would grow there instead).  50 -> 0.5 m
+    # effective sigma: an absolute fix wins, real odometry still shapes the
+    # chain.  Rotation sigma is never scaled.
+    degen_between_scale: float = 50.0
 
     def __post_init__(self):
         # the per-ring surf downsample packs ring ids into a 7-bit voxel-key

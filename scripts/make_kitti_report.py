@@ -190,6 +190,8 @@ def main():
     ap.add_argument("--workdir", default="/tmp/kitti_synth")
     ap.add_argument("--only", default=None,
                     help="comma-separated drive names (default: all)")
+    ap.add_argument("--report-only", action="store_true",
+                    help="rewrite the report from cached rows, run nothing")
     ap.add_argument("--platform", default="cpu",
                     help="jax platform for the replay subprocesses")
     args = ap.parse_args()
@@ -202,7 +204,7 @@ def main():
     selfcheck = None
     only = set(args.only.split(",")) if args.only else None
     for name, traj_kw, scans_override, extras in DRIVES:
-        if only and name not in only:
+        if args.report_only or (only and name not in only):
             continue
         n_scans = scans_override or args.scans
         n_scan = extras.get("n_scan", 16)
